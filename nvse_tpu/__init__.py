@@ -1,0 +1,30 @@
+"""nvse_tpu — TPU-native neural-vocoders-as-speech-enhancers framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+`Andong-Li-speech/Neural-Vocoders-as-Speech-Enhancers` (ICASSP 2025):
+ten GAN vocoder/enhancer generators (HiFiGAN, iSTFTNet, APNet, APNet2,
+FreeV, BSRNN, BSRNN_24k, GCRN, ConvTasNet, HDDemucs), shared
+discriminators (MPD/MSD/MRD/CQT), spectral + GAN losses, unified
+trainers (T-F / time / joint denoise+vocoder), inference CLIs and an
+offline metrics suite — all built TPU-first:
+
+* static-shape, jit-compiled compute; features (mel / STFT) computed
+  on-device inside the train step instead of in host dataloader workers;
+* SPMD data parallelism over a `jax.sharding.Mesh` (ICI all-reduce
+  inserted by XLA) instead of the reference's single hard-coded GPU;
+* batched-matmul formulations for band-split encoders/decoders and
+  DFT-as-matmul STFT paths that map onto the MXU.
+
+Package layout:
+  ops/       pure-JAX DSP (stft/istft/mel/inverse-mel/resample/griffin-lim)
+  models/    Flax generators + discriminators, name registry
+  losses/    GAN + spectral losses
+  data/      host-side audio pipeline (wav IO, segments, noise mixing)
+  train/     unified GAN trainer, checkpointing, schedules
+  infer/     batch inference / RTF harness
+  metrics/   offline metric CLIs (LSD, SNR, STOI, MCD, F0, ...)
+  parallel/  mesh construction + sharding helpers
+  utils/     config (AttrDict-compatible), logging
+"""
+
+__version__ = "0.1.0"

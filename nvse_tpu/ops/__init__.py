@@ -1,0 +1,14 @@
+from .spectral import (
+    amp_pha_spectrum,
+    dynamic_range_compression,
+    dynamic_range_decompression,
+    hann_window,
+    inverse_mel,
+    inverse_mel_basis,
+    istft,
+    istft_ri,
+    mel_filterbank,
+    mel_spectrogram,
+    stft,
+    stft_ri,
+)
