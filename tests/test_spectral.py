@@ -141,6 +141,14 @@ def test_amp_pha_spectrum_matches_torch_formula():
         window=torch.hann_window(1024), center=True, return_complex=True,
     )
     np.testing.assert_allclose(np.asarray(la), torch.log(spec.abs() + 1e-7).numpy(), rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(ph), torch.atan2(spec.imag, spec.real).numpy(), rtol=1e-2, atol=2e-3)
+    # phase is ill-conditioned where |S| ~ 0 (atan2 of two tiny numbers);
+    # compare only bins with non-negligible energy
+    mag = spec.abs().numpy()
+    mask = mag > 1e-3 * mag.max()
+    ph_ref = torch.atan2(spec.imag, spec.real).numpy()
+    # compare as angular distance (phase is 2π-periodic; ±π is the same angle)
+    d = np.asarray(ph)[mask] - ph_ref[mask]
+    d = np.abs(d - np.round(d / (2 * np.pi)) * 2 * np.pi)
+    assert d.max() < 2e-3
     np.testing.assert_allclose(np.asarray(re), spec.real.numpy(), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(im), spec.imag.numpy(), rtol=1e-4, atol=1e-4)
