@@ -1,0 +1,400 @@
+"""Flax layer library with torch-matching semantics.
+
+Building blocks for the generator/discriminator zoo. Semantics (shapes,
+padding, weight-norm parameterisation, default inits) re-derived from the
+reference's torch usage so that (a) parameter counts match the paper
+table (SURVEY.md §6) and (b) pretrained torch checkpoints can be imported
+for parity validation.
+
+Layout: all layers operate channels-last (B, T, C) / (B, H, W, C) — the
+XLA:TPU-preferred layout (C on the 128-lane minor dimension). Models
+transpose once at their boundary from the reference's (B, C, T) contract.
+
+Key torch semantics implemented:
+  * Conv1d/2d: symmetric zero padding, dilation, groups
+    (reference Models/hifigan.py:24-39, Models/models.py:20-61).
+  * ConvTranspose1d/2d: out_len = (T-1)*stride - 2*pad + k, via
+    lhs-dilated conv with flipped kernel (Models/hifigan.py:93-96).
+  * weight_norm: w = g * v / ||v||, norms taken over all dims except
+    dim 0 of the torch weight (out-channels for Conv, in-channels for
+    ConvTranspose); g initialised to ||v|| at init time.
+  * spectral_norm: one power iteration per call, u persisted in the
+    'spectral' variable collection (Models/models.py:221).
+  * LSTM: torch gate order (i, f, g, o), uniform(-1/sqrt(H), 1/sqrt(H))
+    init, optional bidirectional — time-major lax.scan with the input
+    projection hoisted into one large MXU matmul (Models/bsrnn.py:23).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+def leaky_relu(x, slope: float = LRELU_SLOPE):
+    return jax.nn.leaky_relu(x, negative_slope=slope)
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    """'same' padding for odd kernels (reference utils.py:47-48)."""
+    return (kernel_size * dilation - dilation) // 2
+
+
+def torch_conv_init(fan_in: int):
+    """torch Conv default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def normal_init(std: float = 0.01):
+    """init_weights from the reference (utils.py:35-38): N(0, 0.01)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+def _norm_except_axis(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+    axes = tuple(i for i in range(v.ndim) if i != axis)
+    return jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+
+
+class Conv1d(nn.Module):
+    """torch.nn.Conv1d semantics on (B, T, C) inputs.
+
+    use_weight_norm reparameterises the kernel as g * v/||v|| (per
+    out-channel), matching torch.nn.utils.weight_norm(Conv1d) — used on
+    nearly every conv in the reference models.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    kernel_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, cin, cout, g = self.kernel_size, self.in_channels, self.out_channels, self.groups
+        fan_in = (cin // g) * k
+        kinit = self.kernel_init or torch_conv_init(fan_in)
+        # kernel layout (k, cin/groups, cout) == flax 'WIO'
+        kshape = (k, cin // g, cout)
+        if self.use_weight_norm:
+            v = self.param("v", kinit, kshape)
+            gscale = self.param(
+                "g", lambda rng, shape: _norm_except_axis(v, axis=2).reshape(shape), (1, 1, cout)
+            )
+            kernel = gscale * v / jnp.maximum(_norm_except_axis(v, axis=2), 1e-12)
+        else:
+            kernel = self.param("kernel", kinit, kshape)
+
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=g,
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_conv_init(fan_in), (cout,))
+            y = y + bias
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """torch.nn.ConvTranspose1d semantics on (B, T, C) inputs.
+
+    out_len = (T-1)*stride - 2*padding + kernel_size. Implemented as an
+    lhs-dilated convolution with a spatially flipped kernel. Weight norm
+    normalises per *input* channel (torch weight_norm dim=0 on the
+    (in, out, k) weight) — matters for importing torch checkpoints.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    kernel_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, cin, cout = self.kernel_size, self.in_channels, self.out_channels
+        fan_in = cin * k  # torch uses weight.size(1)*k == (out)*k for transpose;
+        # torch ConvTranspose default init uses fan_in = out_channels//groups * k
+        fan_in = cout * k
+        kinit = self.kernel_init or torch_conv_init(fan_in)
+        kshape = (k, cin, cout)  # (spatial, in, out)
+        if self.use_weight_norm:
+            v = self.param("v", kinit, kshape)
+            gscale = self.param(
+                "g", lambda rng, shape: _norm_except_axis(v, axis=1).reshape(shape), (1, cin, 1)
+            )
+            kernel = gscale * v / jnp.maximum(_norm_except_axis(v, axis=1), 1e-12)
+        else:
+            kernel = self.param("kernel", kinit, kshape)
+
+        pad = k - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=0),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_conv_init(fan_in), (cout,))
+            y = y + bias
+        return y
+
+
+class Conv2d(nn.Module):
+    """torch.nn.Conv2d semantics on (B, H, W, C) inputs."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    dilation: tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    kernel_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        cin, cout, g = self.in_channels, self.out_channels, self.groups
+        fan_in = (cin // g) * kh * kw
+        kinit = self.kernel_init or torch_conv_init(fan_in)
+        kshape = (kh, kw, cin // g, cout)
+        if self.use_weight_norm:
+            v = self.param("v", kinit, kshape)
+            gscale = self.param(
+                "g", lambda rng, shape: _norm_except_axis(v, axis=3).reshape(shape), (1, 1, 1, cout)
+            )
+            kernel = gscale * v / jnp.maximum(_norm_except_axis(v, axis=3), 1e-12)
+        else:
+            kernel = self.param("kernel", kinit, kshape)
+
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=g,
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_conv_init(fan_in), (cout,))
+            y = y + bias
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """torch.nn.ConvTranspose2d semantics on (B, H, W, C) inputs."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    kernel_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        cin, cout = self.in_channels, self.out_channels
+        fan_in = cout * kh * kw
+        kinit = self.kernel_init or torch_conv_init(fan_in)
+        kshape = (kh, kw, cin, cout)
+        if self.use_weight_norm:
+            v = self.param("v", kinit, kshape)
+            gscale = self.param(
+                "g", lambda rng, shape: _norm_except_axis(v, axis=2).reshape(shape), (1, 1, cin, 1)
+            )
+            kernel = gscale * v / jnp.maximum(_norm_except_axis(v, axis=2), 1e-12)
+        else:
+            kernel = self.param("kernel", kinit, kshape)
+
+        pads = [(kh - 1 - self.padding[0],) * 2, (kw - 1 - self.padding[1],) * 2]
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(jnp.flip(kernel, axis=0), axis=1),
+            window_strides=(1, 1),
+            padding=pads,
+            lhs_dilation=self.stride,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_conv_init(fan_in), (cout,))
+            y = y + bias
+        return y
+
+
+class SNConv1d(nn.Module):
+    """Spectrally normalised Conv1d (one power iteration per call).
+
+    Matches torch.nn.utils.spectral_norm on Conv1d: the weight matrix is
+    reshaped to (out, in/groups * k) and divided by its top singular
+    value, estimated with persistent power iteration (the 'spectral'
+    variable collection holds u). Used by the first MSD discriminator
+    (reference Models/models.py:221).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, update_stats: bool = True) -> jnp.ndarray:
+        k, cin, cout, g = self.kernel_size, self.in_channels, self.out_channels, self.groups
+        fan_in = (cin // g) * k
+        kernel = self.param("kernel", torch_conv_init(fan_in), (k, cin // g, cout))
+
+        w = kernel.transpose(2, 1, 0).reshape(cout, -1)  # (out, in/g * k) torch order
+        u_var = self.variable(
+            "spectral", "u", lambda: jax.random.normal(self.make_rng("params"), (cout,))
+        )
+        u = u_var.value
+        v = w.T @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u_new = w @ v
+        u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+        sigma = u_new @ w @ v
+        if update_stats and not self.is_initializing():
+            u_var.value = jax.lax.stop_gradient(u_new)
+        kernel = kernel / jax.lax.stop_gradient(sigma)
+
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=g,
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_conv_init(fan_in), (cout,))
+            y = y + bias
+        return y
+
+
+class Linear(nn.Module):
+    """torch.nn.Linear semantics (U(±1/sqrt(fan_in)) init)."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        init = torch_conv_init(self.in_features)
+        w = self.param("kernel", init, (self.in_features, self.out_features))
+        y = x @ w
+        if self.use_bias:
+            b = self.param("bias", init, (self.out_features,))
+            y = y + b
+        return y
+
+
+class LayerNorm(nn.Module):
+    """torch.nn.LayerNorm over the trailing dims (elementwise affine)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return y * scale + bias
+
+
+class LSTM(nn.Module):
+    """Single-layer (bi)LSTM matching torch.nn.LSTM numerics.
+
+    Input (B, T, C) -> output (B, T, H * (2 if bidirectional else 1)).
+
+    TPU-first shape: the input projection x @ W_ih^T for ALL timesteps is
+    one large matmul (MXU); the lax.scan carries only the (B, 4H) hidden
+    matmul per step. Gate order (i, f, g, o) and U(±1/sqrt(H)) init match
+    torch so checkpoints can be imported.
+    """
+
+    input_size: int
+    hidden_size: int
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        H = self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+
+        def uinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        def run_direction(x, name):
+            w_ih = self.param(f"w_ih_{name}", uinit, (self.input_size, 4 * H))
+            w_hh = self.param(f"w_hh_{name}", uinit, (H, 4 * H))
+            b = self.param(f"b_ih_{name}", uinit, (4 * H,)) + self.param(
+                f"b_hh_{name}", uinit, (4 * H,)
+            )
+            xg = x @ w_ih + b                    # (B, T, 4H) — one big matmul
+            xg = jnp.swapaxes(xg, 0, 1)          # time-major (T, B, 4H)
+
+            def step(carry, xt):
+                h, c = carry
+                gates = xt + h @ w_hh
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+                g = jnp.tanh(g)
+                c = f * c + i * g
+                h = o * jnp.tanh(c)
+                return (h, c), h
+
+            B = x.shape[0]
+            init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+            _, hs = jax.lax.scan(step, init, xg)
+            return jnp.swapaxes(hs, 0, 1)        # (B, T, H)
+
+        fwd = run_direction(x, "fwd")
+        if not self.bidirectional:
+            return fwd
+        bwd = run_direction(jnp.flip(x, axis=1), "bwd")
+        return jnp.concatenate([fwd, jnp.flip(bwd, axis=1)], axis=-1)

@@ -1,0 +1,140 @@
+"""Parity tests: nvse_tpu layers vs torch.nn numerics with copied weights."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from nvse_tpu.models import layers as L
+
+RNG = np.random.default_rng(7)
+
+
+def _x(b, t, c):
+    return RNG.standard_normal((b, t, c)).astype(np.float32)
+
+
+def test_conv1d_matches_torch():
+    tconv = torch.nn.Conv1d(8, 16, 5, stride=2, padding=3, dilation=2, groups=2)
+    x = _x(2, 64, 8)
+    ours = L.Conv1d(8, 16, 5, stride=2, padding=3, dilation=2, groups=2)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = {
+        "params": {
+            "kernel": jnp.asarray(tconv.weight.detach().numpy().transpose(2, 1, 0)),
+            "bias": jnp.asarray(tconv.bias.detach().numpy()),
+        }
+    }
+    got = np.asarray(ours.apply(params, jnp.asarray(x)))
+    want = tconv(torch.from_numpy(x).permute(0, 2, 1)).detach().numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_weightnorm_conv1d_matches_torch():
+    tconv = torch.nn.utils.weight_norm(torch.nn.Conv1d(4, 8, 3, padding=1))
+    x = _x(2, 32, 4)
+    ours = L.Conv1d(4, 8, 3, padding=1, use_weight_norm=True)
+    v = tconv.weight_v.detach().numpy().transpose(2, 1, 0)
+    g = tconv.weight_g.detach().numpy().reshape(1, 1, 8)
+    params = {"params": {"v": jnp.asarray(v), "g": jnp.asarray(g),
+                         "bias": jnp.asarray(tconv.bias.detach().numpy())}}
+    got = np.asarray(ours.apply(params, jnp.asarray(x)))
+    want = tconv(torch.from_numpy(x).permute(0, 2, 1)).detach().numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride,k,pad", [(8, 16, 4), (2, 4, 1), (1, 3, 1)])
+def test_convtranspose1d_matches_torch(stride, k, pad):
+    tconv = torch.nn.ConvTranspose1d(6, 3, k, stride=stride, padding=pad)
+    x = _x(2, 20, 6)
+    ours = L.ConvTranspose1d(6, 3, k, stride=stride, padding=pad)
+    params = {"params": {
+        "kernel": jnp.asarray(tconv.weight.detach().numpy().transpose(2, 0, 1)),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }}
+    got = np.asarray(ours.apply(params, jnp.asarray(x)))
+    want = tconv(torch.from_numpy(x).permute(0, 2, 1)).detach().numpy().transpose(0, 2, 1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_matches_torch():
+    tconv = torch.nn.Conv2d(3, 8, (5, 1), stride=(3, 1), padding=(2, 0))
+    x = RNG.standard_normal((2, 30, 7, 3)).astype(np.float32)  # NHWC
+    ours = L.Conv2d(3, 8, (5, 1), stride=(3, 1), padding=(2, 0))
+    params = {"params": {
+        "kernel": jnp.asarray(tconv.weight.detach().numpy().transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }}
+    got = np.asarray(ours.apply(params, jnp.asarray(x)))
+    want = tconv(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_convtranspose2d_matches_torch():
+    tconv = torch.nn.ConvTranspose2d(4, 2, (3, 3), stride=(2, 1), padding=(1, 1))
+    x = RNG.standard_normal((2, 10, 8, 4)).astype(np.float32)
+    ours = L.ConvTranspose2d(4, 2, (3, 3), stride=(2, 1), padding=(1, 1))
+    params = {"params": {
+        "kernel": jnp.asarray(tconv.weight.detach().numpy().transpose(2, 3, 0, 1)),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }}
+    got = np.asarray(ours.apply(params, jnp.asarray(x)))
+    want = tconv(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().numpy().transpose(0, 2, 3, 1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_lstm_matches_torch(bidirectional):
+    tl = torch.nn.LSTM(12, 16, 1, batch_first=True, bidirectional=bidirectional)
+    x = _x(3, 25, 12)
+    ours = L.LSTM(12, 16, bidirectional=bidirectional)
+    p = {}
+    p["w_ih_fwd"] = jnp.asarray(tl.weight_ih_l0.detach().numpy().T)
+    p["w_hh_fwd"] = jnp.asarray(tl.weight_hh_l0.detach().numpy().T)
+    p["b_ih_fwd"] = jnp.asarray(tl.bias_ih_l0.detach().numpy())
+    p["b_hh_fwd"] = jnp.asarray(tl.bias_hh_l0.detach().numpy())
+    if bidirectional:
+        p["w_ih_bwd"] = jnp.asarray(tl.weight_ih_l0_reverse.detach().numpy().T)
+        p["w_hh_bwd"] = jnp.asarray(tl.weight_hh_l0_reverse.detach().numpy().T)
+        p["b_ih_bwd"] = jnp.asarray(tl.bias_ih_l0_reverse.detach().numpy())
+        p["b_hh_bwd"] = jnp.asarray(tl.bias_hh_l0_reverse.detach().numpy())
+    got = np.asarray(ours.apply({"params": p}, jnp.asarray(x)))
+    want, _ = tl(torch.from_numpy(x))
+    np.testing.assert_allclose(got, want.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_spectral_norm_conv_close_to_torch():
+    """After convergence of power iteration both should divide by sigma_max."""
+    tconv = torch.nn.utils.spectral_norm(torch.nn.Conv1d(4, 6, 3, padding=1))
+    x = _x(2, 16, 4)
+    xt = torch.from_numpy(x).permute(0, 2, 1)
+    with torch.no_grad():
+        for _ in range(50):  # converge torch's u
+            tconv(xt)
+    ours = L.SNConv1d(4, 6, 3, padding=1)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    w = tconv.weight_orig.detach().numpy()
+    params = {
+        "params": {"kernel": jnp.asarray(w.transpose(2, 1, 0)),
+                   "bias": jnp.asarray(tconv.bias.detach().numpy())},
+        "spectral": variables["spectral"],
+    }
+    out = None
+    for _ in range(100):  # converge our u
+        out, updates = ours.apply(params, jnp.asarray(x), mutable=["spectral"])
+        params = {**params, "spectral": updates["spectral"]}
+    with torch.no_grad():
+        want = tconv(xt).numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-3, atol=1e-4)
+
+
+def test_weightnorm_g_initialised_to_norm():
+    ours = L.Conv1d(4, 8, 3, padding=1, use_weight_norm=True)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)))
+    v = variables["params"]["v"]
+    g = variables["params"]["g"]
+    norms = np.sqrt((np.asarray(v) ** 2).sum(axis=(0, 1)))
+    np.testing.assert_allclose(np.asarray(g).ravel(), norms, rtol=1e-6)
