@@ -1,0 +1,45 @@
+"""Model registry.
+
+The reference selects models with ``eval(h.model_name)(h)``
+(train_tf_wi_inv.py:54); here a registry maps the same config names to
+Flax module factories. ``build_generator(h)`` returns
+``(module, domain)`` where domain is "tf" (returns the 5-tuple
+(logamp, pha, rea, imag, wav)) or "time" (returns wav).
+"""
+from __future__ import annotations
+
+from .bsrnn import BSRNN, BSRNN_24k
+from .discriminators import (
+    MultiPeriodDiscriminator,
+    MultiResolutionDiscriminator,
+    MultiScaleDiscriminator,
+)
+from .hifigan import HiFiGAN
+from .istftnet import ISTFTNet
+
+# name -> (factory, domain); names match the reference cfgs' model_name
+_REGISTRY: dict = {
+    "HiFiGAN": (HiFiGAN, "time"),
+    "iSTFTNet": (ISTFTNet, "time"),
+    "BSRNN": (BSRNN, "tf"),
+    "BSRNN_24k": (BSRNN_24k, "tf"),
+}
+
+
+def register_model(name: str, factory, domain: str) -> None:
+    _REGISTRY[name] = (factory, domain)
+
+
+def model_domain(name: str) -> str:
+    return _REGISTRY[name][1]
+
+
+def build_generator(h):
+    """Construct the generator named by h.model_name from config h."""
+    try:
+        factory, domain = _REGISTRY[h.model_name]
+    except KeyError:
+        raise KeyError(
+            f"unknown model {h.model_name!r}; known: {sorted(_REGISTRY)}"
+        ) from None
+    return factory.from_config(h), domain
