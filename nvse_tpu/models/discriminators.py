@@ -90,7 +90,7 @@ class DiscriminatorS(nn.Module):
     use_spectral_norm: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, update_stats: bool = True):
         fmap = []
         x = x[..., None]  # (B, L, 1)
         spec = [
@@ -104,13 +104,13 @@ class DiscriminatorS(nn.Module):
         ]
         for cin, cout, k, s, g, p in spec:
             if self.use_spectral_norm:
-                x = SNConv1d(cin, cout, k, stride=s, groups=g, padding=p)(x)
+                x = SNConv1d(cin, cout, k, stride=s, groups=g, padding=p)(x, update_stats)
             else:
                 x = Conv1d(cin, cout, k, stride=s, groups=g, padding=p, use_weight_norm=True)(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         if self.use_spectral_norm:
-            x = SNConv1d(1024, 1, 3, stride=1, padding=1)(x)
+            x = SNConv1d(1024, 1, 3, stride=1, padding=1)(x, update_stats)
         else:
             x = Conv1d(1024, 1, 3, stride=1, padding=1, use_weight_norm=True)(x)
         fmap.append(x)
@@ -128,15 +128,15 @@ class MultiScaleDiscriminator(nn.Module):
     """MSD: raw + two 2x avg-pooled scales (Models/models.py:217-246)."""
 
     @nn.compact
-    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, update_stats: bool = True):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i in range(3):
             if i != 0:
                 y = _avg_pool1d_4_2_pad2(y)
                 y_hat = _avg_pool1d_4_2_pad2(y_hat)
             d = DiscriminatorS(use_spectral_norm=(i == 0))
-            y_d_r, fmap_r = d(y)
-            y_d_g, fmap_g = d(y_hat)
+            y_d_r, fmap_r = d(y, update_stats)
+            y_d_g, fmap_g = d(y_hat, update_stats)
             y_d_rs.append(y_d_r)
             fmap_rs.append(fmap_r)
             y_d_gs.append(y_d_g)

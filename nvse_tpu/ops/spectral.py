@@ -54,8 +54,14 @@ def _hann_np(win_size: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_size)).astype(np.float32)
 
 
-def hann_window(win_size: int) -> jnp.ndarray:
-    return jnp.asarray(_hann_np(win_size))
+def hann_window(win_size: int) -> np.ndarray:
+    """Periodic Hann window as a HOST numpy array.
+
+    Returned as numpy (not a device array) on purpose: windows are
+    static, and stft/istft fold them into trace-time constants — a
+    traced window would defeat that and break under jit.
+    """
+    return _hann_np(win_size)
 
 
 def _hz_to_mel_slaney(f):

@@ -1,0 +1,307 @@
+"""Unified GAN trainer: one jitted two-optimizer step for all domains.
+
+Replaces the reference's three near-duplicate training scripts
+(train_tf_wi_inv.py, train_time_wi_inv.py,
+train_tf_wi_inv_joint_denoise_vocoder.py) with a single step builder
+parameterised by domain:
+
+  * "tf":    MPD + MRD discriminators, LS-GAN, spectral losses —
+             L_G = 45·L_A + 100·(IP+GD+PTD) + 20·(L_C + 2.25·(L_R+L_I))
+                   + L_GAN + L_FM + 45·L_Mel          (train_tf_wi_inv.py:211-239)
+             L_D = mrd_weight·L_MRD + L_MPD           (train_tf_wi_inv.py:202)
+  * "time":  MPD + MSD, LS for HiFiGAN/iSTFTNet else hinge —
+             L_G = L_GAN + L_FM + 45·L_Mel            (train_time_wi_inv.py:229-233)
+             L_D = L_MSD + L_MPD                      (train_time_wi_inv.py:212)
+
+TPU-first design decisions:
+  * Features (mel, mel-loss target, amp/phase spectra) are computed
+    ON-DEVICE inside the jitted step — the host pipeline ships raw audio
+    segments only (the reference computes these in DataLoader workers,
+    dataset.py:218-244).
+  * The generator runs ONCE per step via jax.vjp; its output feeds the
+    D update (stop-gradient) and the G update (cotangents pulled back
+    through the saved VJP) — same compute pattern as the reference's
+    shared forward + two backwards.
+  * D is updated first, and the G adversarial/feature losses use the
+    UPDATED discriminator parameters, matching the reference ordering.
+  * Both optimizer states and params are donated; batch is sharded over
+    the mesh 'data' axis, params replicated; XLA inserts the gradient
+    all-reduces over ICI.
+
+Optimizer: AdamW(lr, betas=(0.8, 0.99), weight_decay=0.01 — torch
+default) with per-epoch exponential decay gamma=0.999
+(train_tf_wi_inv.py:82-100), expressed as a staircase schedule over
+steps_per_epoch.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from ..losses import (
+    amplitude_loss,
+    feature_loss,
+    hinge_discriminator_loss,
+    hinge_generator_loss,
+    ls_discriminator_loss,
+    ls_generator_loss,
+    phase_loss,
+    stft_consistency_loss,
+)
+from ..models import MultiPeriodDiscriminator, MultiResolutionDiscriminator, MultiScaleDiscriminator
+from ..ops import amp_pha_spectrum, hann_window, mel_spectrogram, stft_ri
+from ..parallel import batch_sharding, replicated_sharding
+
+
+class GenState(train_state.TrainState):
+    pass
+
+
+class DiscState(train_state.TrainState):
+    spectral: Any = None  # MSD spectral-norm power-iteration state
+
+
+def make_optimizer(h, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        init_value=h.learning_rate,
+        transition_steps=max(1, steps_per_epoch),
+        decay_rate=h.lr_decay,
+        staircase=True,
+    )
+    return optax.adamw(
+        learning_rate=schedule, b1=h.adam_b1, b2=h.adam_b2,
+        eps=1e-8, weight_decay=0.01,
+    )
+
+
+@dataclasses.dataclass
+class TrainStepFns:
+    train_step: Callable
+    eval_step: Callable
+    gen_apply: Callable
+
+
+def _build_discs(h, domain: str):
+    mpd = MultiPeriodDiscriminator(periods=tuple(h.mpd_reshapes))
+    if domain == "tf":
+        scale_disc = MultiResolutionDiscriminator()
+        scale_weight = h.mrd_weight
+    else:
+        scale_disc = MultiScaleDiscriminator()
+        scale_weight = 1.0
+    return mpd, scale_disc, scale_weight
+
+
+def create_states(h, generator, domain: str, rng, steps_per_epoch: int,
+                  example_input: jnp.ndarray):
+    """Initialise generator + discriminator TrainStates."""
+    mpd, scale_disc, _ = _build_discs(h, domain)
+    rng_g, rng_mpd, rng_s = jax.random.split(rng, 3)
+    gen_params = generator.init(rng_g, example_input)["params"]
+
+    seg = int(h.segment_size)
+    wave = jnp.zeros((2, seg), jnp.float32)
+    mpd_params = mpd.init(rng_mpd, wave, wave)["params"]
+    s_vars = scale_disc.init(rng_s, wave, wave)
+    disc_params = {"mpd": mpd_params, "scale": s_vars["params"]}
+    spectral = s_vars.get("spectral", None)
+
+    tx = make_optimizer(h, steps_per_epoch)
+    gen_state = GenState.create(apply_fn=generator.apply, params=gen_params, tx=tx)
+    disc_state = DiscState.create(
+        apply_fn=None, params=disc_params, tx=make_optimizer(h, steps_per_epoch),
+        spectral=spectral,
+    )
+    return gen_state, disc_state
+
+
+def make_train_step(h, generator, domain: str, mesh=None) -> TrainStepFns:
+    """Build the jitted GAN train/eval step for a generator + config."""
+    mpd, scale_disc, scale_weight = _build_discs(h, domain)
+    use_ls = domain == "tf" or h.model_name in ("HiFiGAN", "iSTFTNet")
+    d_loss_fn = ls_discriminator_loss if use_ls else hinge_discriminator_loss
+    g_loss_fn = ls_generator_loss if use_ls else hinge_generator_loss
+
+    sr = h.sampling_rate
+    melargs = (h.n_fft, h.num_mels, sr, h.hop_size, h.win_size)
+
+    def features(audio):
+        """On-device feature extraction (reference dataset.py:218-244)."""
+        mel = mel_spectrogram(audio, *melargs, h.fmin, h.fmax)
+        meloss = mel_spectrogram(audio, *melargs, h.fmin, sr / 2.0)
+        if domain == "tf":
+            logamp, pha, rea, imag = amp_pha_spectrum(audio, h.n_fft, h.hop_size, h.win_size)
+            return mel, meloss, logamp, pha, rea, imag
+        return mel, meloss, None, None, None, None
+
+    def scale_apply(params, spectral, y, y_hat, update_stats):
+        if spectral is not None:
+            variables = {"params": params, "spectral": spectral}
+            if update_stats:
+                out, updates = scale_disc.apply(
+                    variables, y, y_hat, True, mutable=["spectral"]
+                )
+                return out, updates["spectral"]
+            out = scale_disc.apply(variables, y, y_hat, False)
+            return out, spectral
+        return scale_disc.apply({"params": params}, y, y_hat), None
+
+    def gen_forward(gen_params, mel, aux_input):
+        if domain == "tf":
+            if aux_input is not None:
+                return generator.apply({"params": gen_params}, mel, aux_input)
+            return generator.apply({"params": gen_params}, mel)
+        return generator.apply({"params": gen_params}, mel)
+
+    def train_step(gen_state: GenState, disc_state: DiscState, audio, aux_input=None):
+        mel, meloss, logamp, pha, rea, imag = features(audio)
+        y = audio
+
+        # --- generator forward once, VJP saved for the G update
+        outs, gen_vjp = jax.vjp(lambda p: gen_forward(p, mel, aux_input), gen_state.params)
+        if domain == "tf":
+            logamp_g, pha_g, rea_g, imag_g, y_g = outs
+        else:
+            y_g = outs
+
+        y_min = min(int(y_g.shape[-1]), int(y.shape[-1]))
+        y_gc = y_g[..., :y_min]
+        y_c = y[..., :y_min]
+        y_g_det = jax.lax.stop_gradient(y_gc)
+
+        # --- discriminator update (reference train_tf_wi_inv.py:190-205)
+        def disc_loss(params):
+            r_f, g_f, _, _ = mpd.apply({"params": params["mpd"]}, y_c, y_g_det)
+            loss_f, _, _ = d_loss_fn(r_f, g_f)
+            (r_s, g_s, _, _), new_spec = scale_apply(
+                params["scale"], disc_state.spectral, y_c, y_g_det, update_stats=True
+            )
+            loss_s, _, _ = d_loss_fn(r_s, g_s)
+            return loss_s * scale_weight + loss_f, new_spec
+
+        (L_D, new_spectral), d_grads = jax.value_and_grad(disc_loss, has_aux=True)(
+            disc_state.params
+        )
+        disc_state = disc_state.apply_gradients(grads=d_grads)
+        disc_state = disc_state.replace(spectral=new_spectral)
+
+        # --- generator update against the UPDATED discriminator
+        def gen_loss(outs):
+            metrics = {}
+            if domain == "tf":
+                logamp_g, pha_g, rea_g, imag_g, y_g = outs
+                y_gc = y_g[..., :y_min]
+                L_A = amplitude_loss(logamp, logamp_g)
+                ip, gd, ptd = phase_loss(pha, pha_g)
+                L_P = ip + gd + ptd
+                # gradients flow through BOTH sides of the consistency
+                # loss (the reference does not detach the re-analysed
+                # spectra, train_tf_wi_inv.py:217-220)
+                _, _, rea_gf, imag_gf = amp_pha_spectrum(y_gc, h.n_fft, h.hop_size, h.win_size)
+                L_C = stft_consistency_loss(rea_g, rea_gf, imag_g, imag_gf)
+                L_R = jnp.mean(jnp.abs(rea - rea_g))
+                L_I = jnp.mean(jnp.abs(imag - imag_g))
+                L_S = L_C + 2.25 * (L_R + L_I)
+                metrics.update(A=L_A, IP=ip, GD=gd, PTD=ptd, C=L_C, R=L_R, I=L_I)
+            else:
+                y_g = outs
+                y_gc = y_g[..., :y_min]
+                L_A = L_P = L_S = 0.0
+
+            y_g_mel = mel_spectrogram(y_gc, *melargs, h.fmin, sr / 2.0)
+            L_Mel = jnp.mean(jnp.abs(meloss - y_g_mel))
+            metrics["Mel"] = L_Mel
+
+            r_f, g_f, fr_f, fg_f = mpd.apply({"params": disc_state.params["mpd"]}, y_c, y_gc)
+            (r_s, g_s, fr_s, fg_s), _ = scale_apply(
+                disc_state.params["scale"], disc_state.spectral, y_c, y_gc,
+                update_stats=False,
+            )
+            loss_gen_f, _ = g_loss_fn(g_f)
+            loss_gen_s, _ = g_loss_fn(g_s)
+            L_GAN = loss_gen_s * scale_weight + loss_gen_f
+            L_FM = feature_loss(fr_s, fg_s) * scale_weight + feature_loss(fr_f, fg_f)
+            L_W = L_GAN + L_FM + 45.0 * L_Mel
+            if domain == "tf":
+                L_G = 45.0 * L_A + 100.0 * L_P + 20.0 * L_S + L_W
+            else:
+                L_G = L_W
+            metrics.update(G=L_G, GAN=L_GAN, FM=L_FM)
+            return L_G, metrics
+
+        (L_G, metrics), out_cotangents = jax.value_and_grad(gen_loss, has_aux=True)(outs)
+        (g_grads,) = gen_vjp(out_cotangents)
+        gen_state = gen_state.apply_gradients(grads=g_grads)
+
+        metrics["D"] = L_D
+        return gen_state, disc_state, metrics
+
+    def eval_step(gen_state: GenState, audio, aux_input=None):
+        """Validation: full losses under no-grad (train_tf_wi_inv.py:313-417)."""
+        mel, meloss, logamp, pha, rea, imag = features(audio)
+        outs = gen_forward(gen_state.params, mel, aux_input)
+        metrics = {}
+        if domain == "tf":
+            logamp_g, pha_g, rea_g, imag_g, y_g = outs
+            metrics["A"] = amplitude_loss(logamp, logamp_g)
+            ip, gd, ptd = phase_loss(pha, pha_g)
+            metrics.update(IP=ip, GD=gd, PTD=ptd)
+            metrics["R"] = jnp.mean(jnp.abs(rea - rea_g))
+            metrics["I"] = jnp.mean(jnp.abs(imag - imag_g))
+        else:
+            y_g = outs
+        y_min = min(int(y_g.shape[-1]), int(audio.shape[-1]))
+        y_g_mel = mel_spectrogram(y_g[..., :y_min], *melargs, h.fmin, sr / 2.0)
+        T = min(int(meloss.shape[-1]), int(y_g_mel.shape[-1]))
+        metrics["Mel"] = jnp.mean(jnp.abs(meloss[..., :T] - y_g_mel[..., :T]))
+        return y_g, metrics
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(repl, repl, data, None),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+            static_argnames=(),
+        )
+        eval_step = jax.jit(eval_step, in_shardings=(repl, data, None))
+    else:
+        train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        eval_step = jax.jit(eval_step)
+
+    return TrainStepFns(train_step=train_step, eval_step=eval_step, gen_apply=gen_forward)
+
+
+class GANTrainer:
+    """Convenience wrapper: states + step fns + host loop hooks.
+
+    The full training loop (checkpointing, TensorBoard, validation
+    cadence) lives in train/loop.py; this class wires model/config into
+    step functions for programmatic use and tests.
+    """
+
+    def __init__(self, h, generator, domain: str, rng, steps_per_epoch: int,
+                 example_input, mesh=None):
+        self.h = h
+        self.generator = generator
+        self.domain = domain
+        self.mesh = mesh
+        self.fns = make_train_step(h, generator, domain, mesh=mesh)
+        self.gen_state, self.disc_state = create_states(
+            h, generator, domain, rng, steps_per_epoch, example_input
+        )
+
+    def step(self, audio, aux_input=None):
+        self.gen_state, self.disc_state, metrics = self.fns.train_step(
+            self.gen_state, self.disc_state, audio, aux_input
+        )
+        return metrics
