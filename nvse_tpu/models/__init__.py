@@ -8,12 +8,16 @@ Flax module factories. ``build_generator(h)`` returns
 """
 from __future__ import annotations
 
+from .apnet import APNet, APNet2, FreeV
 from .bsrnn import BSRNN, BSRNN_24k
+from .convtasnet import ConvTasNet
 from .discriminators import (
     MultiPeriodDiscriminator,
     MultiResolutionDiscriminator,
     MultiScaleDiscriminator,
 )
+from .gcrn import GCRN
+from .hddemucas import HDDemucas
 from .hifigan import HiFiGAN
 from .istftnet import ISTFTNet
 
@@ -21,8 +25,14 @@ from .istftnet import ISTFTNet
 _REGISTRY: dict = {
     "HiFiGAN": (HiFiGAN, "time"),
     "iSTFTNet": (ISTFTNet, "time"),
+    "APNet": (APNet, "tf"),
+    "APNet2": (APNet2, "tf"),
+    "FreeV": (FreeV, "tf"),
     "BSRNN": (BSRNN, "tf"),
     "BSRNN_24k": (BSRNN_24k, "tf"),
+    "GCRN": (GCRN, "tf"),
+    "ConvTasNet": (ConvTasNet, "time"),
+    "HDDemucas": (HDDemucas, "time"),
 }
 
 

@@ -88,6 +88,7 @@ class Conv1d(nn.Module):
     use_bias: bool = True
     use_weight_norm: bool = False
     kernel_init: Callable | None = None
+    bias_init: Callable | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -115,7 +116,7 @@ class Conv1d(nn.Module):
             feature_group_count=g,
         )
         if self.use_bias:
-            bias = self.param("bias", torch_conv_init(fan_in), (cout,))
+            bias = self.param("bias", self.bias_init or torch_conv_init(fan_in), (cout,))
             y = y + bias
         return y
 
@@ -134,15 +135,16 @@ class ConvTranspose1d(nn.Module):
     kernel_size: int
     stride: int = 1
     padding: int = 0
+    dilation: int = 1
     use_bias: bool = True
     use_weight_norm: bool = False
     kernel_init: Callable | None = None
+    bias_init: Callable | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k, cin, cout = self.kernel_size, self.in_channels, self.out_channels
-        fan_in = cin * k  # torch uses weight.size(1)*k == (out)*k for transpose;
-        # torch ConvTranspose default init uses fan_in = out_channels//groups * k
+        # torch ConvTranspose default init uses fan_in = out_channels * k
         fan_in = cout * k
         kinit = self.kernel_init or torch_conv_init(fan_in)
         kshape = (k, cin, cout)  # (spatial, in, out)
@@ -155,17 +157,19 @@ class ConvTranspose1d(nn.Module):
         else:
             kernel = self.param("kernel", kinit, kshape)
 
-        pad = k - 1 - self.padding
+        eff_k = self.dilation * (k - 1) + 1
+        pad = eff_k - 1 - self.padding
         y = jax.lax.conv_general_dilated(
             x,
             jnp.flip(kernel, axis=0),
             window_strides=(1,),
             padding=[(pad, pad)],
             lhs_dilation=(self.stride,),
+            rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
         if self.use_bias:
-            bias = self.param("bias", torch_conv_init(fan_in), (cout,))
+            bias = self.param("bias", self.bias_init or torch_conv_init(fan_in), (cout,))
             y = y + bias
         return y
 
@@ -313,19 +317,22 @@ class SNConv1d(nn.Module):
 
 
 class Linear(nn.Module):
-    """torch.nn.Linear semantics (U(±1/sqrt(fan_in)) init)."""
+    """torch.nn.Linear semantics (U(±1/sqrt(fan_in)) init by default)."""
 
     in_features: int
     out_features: int
     use_bias: bool = True
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        init = torch_conv_init(self.in_features)
-        w = self.param("kernel", init, (self.in_features, self.out_features))
+        default = torch_conv_init(self.in_features)
+        w = self.param("kernel", self.kernel_init or default,
+                       (self.in_features, self.out_features))
         y = x @ w
         if self.use_bias:
-            b = self.param("bias", init, (self.out_features,))
+            b = self.param("bias", self.bias_init or default, (self.out_features,))
             y = y + b
         return y
 

@@ -1,3 +1,5 @@
+from .griffin_lim import griffin_lim
+from .resample import downsample2, upsample2
 from .spectral import (
     amp_pha_spectrum,
     dynamic_range_compression,
