@@ -1,0 +1,156 @@
+"""Host-side dataset: filelists, random segments, threaded prefetch.
+
+TPU-first split of responsibilities (vs reference dataset.py:158-258):
+the host pipeline only loads/crops raw audio segments; mel / amp-phase
+features are computed on-device inside the jitted train step. This
+removes the reference's CPU-worker STFT bottleneck and ships 64KB per
+item instead of ~1MB of features.
+
+Filelist format matches the reference (LJSpeech-style
+"DUMMY1/<file>.wav|<transcript>" lines resolved against
+raw_wavfile_path, dataset.py:142-155).
+
+Multi-host: SegmentDataset(shard_id, num_shards) statically shards the
+filelist per host, replacing DataLoader worker parallelism with thread
+prefetch into a bounded queue.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from .audio_io import load_wav
+
+
+def parse_filelist_line(line: str) -> str:
+    """'DUMMY1/LJ001-0001.wav|text...' -> 'LJ001-0001.wav' (dataset.py:146)."""
+    return line.strip().split("/")[1].split("|")[0]
+
+
+def get_dataset_filelist(train_list: str, val_list: str, wav_root: str):
+    """Reference dataset.py:142-155 contract."""
+
+    def read(p):
+        with open(p) as f:
+            return [os.path.join(wav_root, parse_filelist_line(l)) for l in f if l.strip()]
+
+    return read(train_list), read(val_list)
+
+
+class SegmentDataset:
+    """Random fixed-length audio segments from a filelist.
+
+    Mirrors reference Dataset.__getitem__ cropping (dataset.py:208-216):
+    random segment_size crop, zero-pad short files. Returns raw audio
+    only; features are computed on device.
+    """
+
+    def __init__(
+        self,
+        files: Sequence[str],
+        segment_size: int,
+        sampling_rate: int,
+        split: bool = True,
+        shuffle: bool = True,
+        seed: int = 1234,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        cache_wavs: bool = True,
+    ):
+        self.files = list(files)
+        rng = random.Random(seed)
+        if shuffle:
+            rng.shuffle(self.files)
+        self.files = self.files[shard_id::num_shards]
+        self.segment_size = segment_size
+        self.sampling_rate = sampling_rate
+        self.split = split
+        self.rng = random.Random(seed + shard_id)
+        self._cache: dict[str, np.ndarray] = {} if cache_wavs else None
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _load(self, path: str) -> np.ndarray:
+        if self._cache is not None and path in self._cache:
+            return self._cache[path]
+        audio = load_wav(path, self.sampling_rate)
+        if self._cache is not None:
+            self._cache[path] = audio
+        return audio
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        audio = self._load(self.files[index])
+        if not self.split:
+            return audio
+        seg = self.segment_size
+        if len(audio) >= seg:
+            start = self.rng.randint(0, len(audio) - seg)
+            return audio[start : start + seg]
+        return np.pad(audio, (0, seg - len(audio)))
+
+
+class PrefetchLoader:
+    """Threaded batching loader: shuffled epochs, drop_last, bounded queue.
+
+    Replaces torch DataLoader(num_workers=4, shuffle, drop_last)
+    (train_tf_wi_inv.py:122-130) with reader threads filling a queue of
+    ready (B, segment) float32 batches.
+    """
+
+    def __init__(self, dataset: SegmentDataset, batch_size: int,
+                 num_workers: int = 4, seed: int = 1234, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        order = np.random.default_rng(self.seed + self.epoch).permutation(len(self.dataset))
+        self.epoch += 1
+        nb = len(self)
+        out_q: queue.Queue = queue.Queue(maxsize=8)
+        idx_q: queue.Queue = queue.Queue()
+        for b in range(nb):
+            idx_q.put((b, order[b * self.batch_size : (b + 1) * self.batch_size]))
+
+        results: dict[int, np.ndarray] = {}
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                try:
+                    b, idxs = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch = np.stack([self.dataset[int(i)] for i in idxs])
+                with lock:
+                    results[b] = batch
+                out_q.put(b)
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        next_b = 0
+        pending: dict[int, np.ndarray] = {}
+        received = 0
+        while next_b < nb:
+            while next_b not in pending:
+                b = out_q.get()
+                with lock:
+                    pending[b] = results.pop(b)
+                received += 1
+            yield pending.pop(next_b)
+            next_b += 1

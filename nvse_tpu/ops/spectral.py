@@ -339,6 +339,18 @@ def istft(
 # mel pipeline
 # ---------------------------------------------------------------------------
 
+def _safe_magnitude(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(re^2 + im^2) with a well-defined gradient at 0.
+
+    d/dx sqrt(x^2+y^2) is 0/0 at the origin; exact-zero spectrum bins
+    (silence, padded regions) would propagate NaN into generator
+    gradients through the mel loss. Clamping under the sqrt leaves the
+    forward value numerically unchanged (floor 1e-12) and makes the
+    gradient 0 at dead bins.
+    """
+    return jnp.sqrt(jnp.maximum(re * re + im * im, 1e-24))
+
+
 def dynamic_range_compression(x: jnp.ndarray, C: float = 1.0, clip_val: float = 1e-5) -> jnp.ndarray:
     """log(clamp(x, 1e-5) * C) — reference dataset.py:27-28."""
     return jnp.log(jnp.clip(x, clip_val, None) * C)
@@ -362,7 +374,7 @@ def mel_spectrogram(
     """wave (..., L) -> log-mel (..., num_mels, T). Reference dataset.py:53-91."""
     basis = mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax)
     re, im = stft_ri(y, n_fft, hop_size, win_size, window=hann_window(win_size), center=center)
-    mag = jnp.sqrt(re * re + im * im)
+    mag = _safe_magnitude(re, im)
     mel = jnp.einsum("mf,...ft->...mt", basis, mag)
     return dynamic_range_compression(mel)
 
@@ -400,6 +412,6 @@ def amp_pha_spectrum(
     uses eps=1e-5, pass it explicitly).
     """
     rea, imag = stft_ri(y, n_fft, hop_size, win_size, window=hann_window(win_size), center=True)
-    log_amplitude = jnp.log(jnp.sqrt(rea * rea + imag * imag) + eps)
+    log_amplitude = jnp.log(_safe_magnitude(rea, imag) + eps)
     phase = jnp.arctan2(imag, rea)
     return log_amplitude, phase, rea, imag

@@ -1,0 +1,101 @@
+"""Checkpointing: two-bundle g_/do_ layout with keep-N rotation (orbax).
+
+Mirrors the reference scheme (SURVEY.md §5.4, utils.py:51-86,
+train_tf_wi_inv.py:288-305): per save step two bundles are written —
+``g_{step:08d}`` (generator params only, what inference loads) and
+``do_{step:08d}`` (discriminators, both optimizer states, step, epoch).
+``scan_checkpoint`` finds the newest bundle of a prefix; rotation keeps
+``max_to_keep`` of each.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import re
+import shutil
+
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(path: str, prefix: str, step: int) -> str:
+    return os.path.join(path, f"{prefix}{step:08d}")
+
+
+def scan_checkpoint(path: str, prefix: str) -> str | None:
+    """Newest '{prefix}????????' bundle in path (utils.py:81-86)."""
+    pattern = os.path.join(path, prefix + "????????")
+    cands = [p for p in glob.glob(pattern) if re.match(rf"{re.escape(prefix)}\d{{8}}$", os.path.basename(p))]
+    return sorted(cands)[-1] if cands else None
+
+
+def checkpoint_step(path: str) -> int:
+    return int(os.path.basename(path)[-8:])
+
+
+def _rotate(path: str, prefix: str, keep: int) -> None:
+    pattern = os.path.join(path, prefix + "????????")
+    cands = sorted(
+        p for p in glob.glob(pattern)
+        if re.match(rf"{re.escape(prefix)}\d{{8}}$", os.path.basename(p))
+    )
+    for p in cands[:-keep]:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def save_checkpoint(path: str, step: int, epoch: int, gen_state, disc_state,
+                    max_to_keep: int = 5) -> None:
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.PyTreeCheckpointer()
+    g = {"generator": gen_state.params}
+    do = {
+        "disc_params": disc_state.params,
+        "spectral": disc_state.spectral,
+        "optim_g": gen_state.opt_state,
+        "optim_d": disc_state.opt_state,
+        "steps": step,
+        "epoch": epoch,
+    }
+    gdir, ddir = _ckpt_dir(path, "g_", step), _ckpt_dir(path, "do_", step)
+    for d in (gdir, ddir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    ckptr.save(os.path.abspath(gdir), g)
+    ckptr.save(os.path.abspath(ddir), do)
+    if max_to_keep:
+        _rotate(path, "g_", max_to_keep)
+        _rotate(path, "do_", max_to_keep)
+
+
+def restore_checkpoint(path: str, gen_state, disc_state):
+    """Resume from the newest g_/do_ pair; returns
+    (gen_state, disc_state, step, epoch) — untouched states and step 0
+    if no checkpoint exists (train_tf_wi_inv.py:65-93)."""
+    cp_g, cp_do = scan_checkpoint(path, "g_"), scan_checkpoint(path, "do_")
+    if cp_g is None or cp_do is None:
+        return gen_state, disc_state, 0, -1
+    ckptr = ocp.PyTreeCheckpointer()
+    g = ckptr.restore(os.path.abspath(cp_g), item={"generator": gen_state.params})
+    do = ckptr.restore(
+        os.path.abspath(cp_do),
+        item={
+            "disc_params": disc_state.params,
+            "spectral": disc_state.spectral,
+            "optim_g": gen_state.opt_state,
+            "optim_d": disc_state.opt_state,
+            "steps": 0,
+            "epoch": 0,
+        },
+    )
+    gen_state = gen_state.replace(params=g["generator"], opt_state=do["optim_g"],
+                                  step=do["steps"] + 1)
+    disc_state = disc_state.replace(params=do["disc_params"], spectral=do["spectral"],
+                                    opt_state=do["optim_d"], step=do["steps"] + 1)
+    return gen_state, disc_state, int(do["steps"]) + 1, int(do["epoch"])
+
+
+def load_generator_params(ckpt_path: str, params_template):
+    """Load generator params from an explicit g_* bundle path
+    (h.checkpoint_file_load, infers/inference_bsrnn.py:44)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    out = ckptr.restore(os.path.abspath(ckpt_path), item={"generator": params_template})
+    return out["generator"]

@@ -273,7 +273,8 @@ def make_train_step(h, generator, domain: str, mesh=None) -> TrainStepFns:
             donate_argnums=(0, 1),
             static_argnames=(),
         )
-        eval_step = jax.jit(eval_step, in_shardings=(repl, data, None))
+        # validation runs batch-1 full utterances — replicate, don't shard
+        eval_step = jax.jit(eval_step, in_shardings=(repl, repl, None))
     else:
         train_step = jax.jit(train_step, donate_argnums=(0, 1))
         eval_step = jax.jit(eval_step)

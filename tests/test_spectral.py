@@ -152,3 +152,15 @@ def test_amp_pha_spectrum_matches_torch_formula():
     assert d.max() < 2e-3
     np.testing.assert_allclose(np.asarray(re), spec.real.numpy(), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(im), spec.imag.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_mel_gradient_finite_at_silence():
+    """Regression: exact-zero spectrum bins must not NaN the mel grad."""
+    import jax
+
+    for sig in [np.zeros((1, 2048), np.float32),
+                (0.1 * np.sin(np.arange(2048)[None] / 10)).astype(np.float32)]:
+        g = jax.grad(
+            lambda w: jnp.sum(mel_spectrogram(w, 1024, 80, 22050, 256, 1024, 0, 8000))
+        )(jnp.asarray(sig))
+        assert bool(jnp.isfinite(g).all())
