@@ -1,0 +1,29 @@
+#!/usr/bin/env python
+"""Inference CLI for HiFiGAN (same UX as reference infers/inference_hifigan.py).
+
+    python infers/inference_hifigan.py --cfg_filename nvse_tpu/configs/hifigan_v1_config.json
+Decodes the configured test filelist to h.test_output_dir and prints the
+RTF (generated-audio-seconds / wall-seconds).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nvse_tpu.infer import run_inference
+from nvse_tpu.utils import load_config
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg_filename", default=os.path.join(
+        os.path.dirname(__file__), "..", "nvse_tpu", "configs", "hifigan_v1_config.json"))
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args()
+    h = load_config(args.cfg_filename)
+    run_inference(h, limit=args.limit)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Joint denoise+vocoder dataset: task sampling + LUFS-SNR noise mixing.
+
+Host-side re-derivation of reference
+dataset_joint_denoise_vocoder.py:144-407, with the TPU-first split: this
+pipeline emits raw (input_wave, clean_wave, task) batches; spectral
+features (noisy log-amp spectrum for denoise, log pseudo-inverse mel for
+vocoder, targets) are computed on device in the joint train step.
+
+Semantics preserved:
+  * 50/50 per-batch task draw from task_dict (:229-238); the whole
+    batch shares one task (the reference builds the batch inside
+    __getitem__, :240-403).
+  * denoise: random noise file, pre-amplified x100 (:250), tile/crop
+    with near-silent-crop rejection (:266-277), LUFS-matched SNR in
+    U[snr_range] (:291-301), inf/nan gain fallback 1.0, anti-clipping
+    rescale loop with U(0.3, 0.9) peak target (:304-308).
+  * vocoder: clean speech in == out.
+  * speech shorter than the segment is tiled, not zero-padded (:263-264).
+"""
+from __future__ import annotations
+
+import glob
+import os
+import random
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from .audio_io import load_wav
+from .loudness import integrated_loudness
+
+
+def get_joint_filelist(input_training_wav_list, input_validation_wav_list,
+                       raw_wavfile_path, input_noise_wav_list):
+    """Reference :144-175: 90/10 noise split + existence-checked speech."""
+    with open(input_noise_wav_list) as f:
+        noise_all = [l.strip() for l in f if l.strip()]
+    n = len(noise_all)
+    train_noise, val_noise = noise_all[: int(0.9 * n)], noise_all[int(0.9 * n):]
+
+    actual = set()
+    for depth in range(1, 5):
+        actual.update(glob.glob(os.path.join(raw_wavfile_path, *(["*"] * (depth - 1)), "*.wav")))
+
+    def read(p):
+        out = []
+        with open(p) as f:
+            for l in f:
+                if not l.strip():
+                    continue
+                name = l.strip().split("|")[0]
+                path = os.path.join(raw_wavfile_path, f"{name}.wav")
+                if path in actual:
+                    out.append(path)
+        return out
+
+    return read(input_training_wav_list), read(input_validation_wav_list), train_noise, val_noise
+
+
+class JointDataset:
+    """Yields (input_wave, clean_wave, task) batches, one task per batch."""
+
+    def __init__(
+        self,
+        speech_files: Sequence[str],
+        noise_files: Sequence[str],
+        snr_range: tuple[float, float],
+        segment_size: int,
+        sampling_rate: int,
+        batch_size: int,
+        task_dict=("denoise", "vocoder"),
+        split: bool = True,
+        shuffle: bool = True,
+        seed: int = 1234,
+    ):
+        self.speech_files = list(speech_files)
+        if shuffle:
+            random.Random(seed).shuffle(self.speech_files)
+        self.noise_files = list(noise_files)
+        self.snr_range = tuple(snr_range)
+        self.segment_size = segment_size
+        self.sampling_rate = sampling_rate
+        self.batch_size = batch_size
+        self.task_dict = task_dict
+        self.split = split
+        self.rng = random.Random(seed)
+        self.np_rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.speech_files) // self.batch_size
+
+    def _draw_task(self) -> str:
+        td = self.task_dict
+        if isinstance(td, str):
+            return td
+        if len(td) == 1:
+            return td[0]
+        return td[self.rng.choices([0, 1], weights=[0.5, 0.5], k=1)[0]]
+
+    def _crop_speech(self, audio: np.ndarray, seg: int) -> np.ndarray:
+        if len(audio) >= seg:
+            start = self.rng.randint(0, len(audio) - seg)
+            return audio[start : start + seg]
+        nrep = int(np.ceil(seg / len(audio)))
+        return np.tile(audio, nrep)[:seg]
+
+    def _crop_noise(self, noise: np.ndarray, seg: int) -> np.ndarray:
+        if len(noise) >= seg:
+            for _ in range(100):
+                start = self.rng.randint(0, len(noise) - seg)
+                n = noise[start : start + seg]
+                if float((n**2).sum()) > 1e-2:
+                    return n
+            return n
+        nrep = int(np.ceil(seg / len(noise)))
+        n = np.tile(noise, nrep)[:seg]
+        if float((n**2).sum()) <= 1e-2:
+            n = n + 0.1 * self.np_rng.standard_normal(n.shape)
+        return n.astype(np.float32)
+
+    def _mix(self, audio: np.ndarray, seg: int) -> tuple[np.ndarray, np.ndarray]:
+        noise = load_wav(self.rng.choice(self.noise_files), self.sampling_rate)
+        noise = 100.0 * noise  # pre-amplify (:250)
+        noise = self._crop_noise(noise, seg)
+
+        snr_db = float(np.round(self.np_rng.uniform(*self.snr_range), decimals=1))
+        l_audio = integrated_loudness(audio, self.sampling_rate)
+        l_noise = integrated_loudness(noise, self.sampling_rate)
+        gain = 10.0 ** ((l_audio - snr_db - l_noise) / 20.0)
+        if not np.isfinite(gain):
+            gain = 1.0
+        noisy = audio + gain * noise
+
+        # anti-clipping rescale (:304-308)
+        while np.max(np.abs(noisy)) >= 1.0:
+            target = self.np_rng.uniform(0.3, 0.9)
+            c = target / (np.max(np.abs(noisy)) + 1e-5)
+            noisy, audio = noisy * c, audio * c
+        return noisy.astype(np.float32), audio.astype(np.float32)
+
+    def get_batch(self, index: int) -> tuple[np.ndarray, np.ndarray, str]:
+        task = self._draw_task()
+        seg = self.segment_size
+        inputs, cleans = [], []
+        for j in range(self.batch_size):
+            idx = (index * self.batch_size + j) % len(self.speech_files)
+            audio = load_wav(self.speech_files[idx], self.sampling_rate)
+            if self.split:
+                audio = self._crop_speech(audio, seg)
+            if task == "denoise":
+                noisy, clean = self._mix(audio, len(audio))
+            else:
+                noisy, clean = audio, audio
+            inputs.append(noisy)
+            cleans.append(clean)
+        return np.stack(inputs), np.stack(cleans), task
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, str]]:
+        for i in range(len(self)):
+            yield self.get_batch(i)

@@ -1,0 +1,138 @@
+"""Batch inference engine: mel->wav decoding with RTF accounting.
+
+Replaces the reference's per-file CPU loops (infers/inference_bsrnn.py:41-134,
+byte-identical across 8 scripts) with one engine:
+
+  * wav -> mel on device, generator forward, PCM_16 wav out — same
+    contract (TF models return the 5-tuple, take [-1]).
+  * static-shape bucketing: utterances are padded to the next length
+    bucket (multiples of `bucket_frames` mel frames) so jit re-compiles
+    only once per bucket, then cropped back — the TPU answer to the
+    reference's ragged per-file shapes (SURVEY.md §7).
+  * RTF = generated-audio-seconds / wall-seconds, excluding compile
+    time (first call per bucket is warmed up separately), matching the
+    reference printout (infers/inference_bsrnn.py:98-102).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import load_wav, write_wav
+from ..models import build_generator
+from ..ops import mel_spectrogram
+from ..train.checkpoint import load_generator_params, scan_checkpoint
+
+
+def _bucket(n: int, step: int) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+@dataclass
+class InferenceEngine:
+    h: object
+    params: dict | None = None
+    bucket_frames: int = 64
+    _fns: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.generator, self.domain = build_generator(self.h)
+        if self.params is None:
+            example = jnp.zeros((1, self.h.num_mels, 16), jnp.float32)
+            variables = self.generator.init(jax.random.PRNGKey(0), example)
+            template = variables["params"]
+            ckpt = self.h.get("checkpoint_file_load")
+            if ckpt and os.path.exists(ckpt):
+                self.params = load_generator_params(ckpt, template)
+            elif self.h.get("checkpoint_path") and scan_checkpoint(self.h.checkpoint_path, "g_"):
+                self.params = load_generator_params(
+                    scan_checkpoint(self.h.checkpoint_path, "g_"), template
+                )
+            else:
+                self.params = template  # random init (benchmarks / smoke)
+
+    def _fn(self, T: int):
+        if T not in self._fns:
+            gen = self.generator
+
+            @jax.jit
+            def run(params, mel):
+                out = gen.apply({"params": params}, mel)
+                return out[-1] if isinstance(out, tuple) else out
+
+            self._fns[T] = run
+        return self._fns[T]
+
+    def mel_of(self, audio: np.ndarray) -> jnp.ndarray:
+        h = self.h
+        return mel_spectrogram(
+            jnp.asarray(audio[None, :]), h.n_fft, h.num_mels, h.sampling_rate,
+            h.hop_size, h.win_size, h.fmin, h.fmax,
+        )
+
+    def synthesize_mel(self, mel: jnp.ndarray, out_len: int | None = None) -> np.ndarray:
+        """mel (B, M, T) -> wav (B, L); pads T to a bucket, crops output."""
+        T = mel.shape[-1]
+        Tb = _bucket(T, self.bucket_frames)
+        melp = jnp.pad(mel, ((0, 0), (0, 0), (0, Tb - T)),
+                       constant_values=float(np.log(1e-5)))
+        wav = self._fn(Tb)(self.params, melp)
+        wav = np.asarray(wav)
+        if out_len is None:
+            out_len = T * self.h.hop_size
+        return wav[..., :out_len]
+
+    def warmup(self, T: int) -> None:
+        Tb = _bucket(T, self.bucket_frames)
+        mel = jnp.full((1, self.h.num_mels, Tb), float(np.log(1e-5)))
+        self._fn(Tb)(self.params, mel).block_until_ready()
+
+
+def _resolve_filelist(h) -> list[str]:
+    """Reference filelist semantics (infers/inference_bsrnn.py:47-55)."""
+    src = h.test_input_wavs_dir
+    if os.path.isfile(src):
+        with open(src) as f:
+            names = [l.strip().split("/")[1].split("|")[0] for l in f if l.strip()]
+        return [os.path.join(h.raw_wavfile_path, n) for n in names]
+    return [os.path.join(src, n) for n in sorted(os.listdir(src)) if n.endswith(".wav")]
+
+
+def run_inference(h, limit: int | None = None, log_fn=print) -> dict:
+    """Decode the test set, write wavs, print + return RTF stats."""
+    engine = InferenceEngine(h)
+    files = _resolve_filelist(h)
+    if limit:
+        files = files[:limit]
+    os.makedirs(h.test_output_dir, exist_ok=True)
+
+    total_audio_sec = 0.0
+    total_wall = 0.0
+    for i, path in enumerate(files):
+        if h.get("test_mel_load"):
+            mel = jnp.asarray(np.load(path)[None, ...])
+            audio_len = mel.shape[-1] * h.hop_size
+        else:
+            audio = load_wav(path, h.sampling_rate)
+            mel = engine.mel_of(audio)
+            audio_len = len(audio)
+        if i == 0:
+            engine.warmup(mel.shape[-1])
+        t0 = time.time()
+        wav = engine.synthesize_mel(mel, out_len=audio_len)
+        wav = np.asarray(wav)
+        total_wall += time.time() - t0
+        total_audio_sec += audio_len / h.sampling_rate
+        out = os.path.join(h.test_output_dir, os.path.basename(path))
+        write_wav(out, wav[0], h.sampling_rate)
+
+    rtf = total_audio_sec / max(total_wall, 1e-9)
+    log_fn(f"decoded {len(files)} files | wall {total_wall:.2f}s | "
+           f"audio {total_audio_sec:.2f}s | RTF {rtf:.2f}x realtime")
+    return {"files": len(files), "wall_sec": total_wall,
+            "audio_sec": total_audio_sec, "rtf": rtf}

@@ -1,0 +1,102 @@
+"""Joint denoise+vocoder training loop (BSRNN_24k).
+
+Mirrors train_tf_wi_inv_joint_denoise_vocoder.py:43-445: the joint
+dataset draws a task per batch (50/50 denoise/vocoder), noise mixing
+happens on host (LUFS-SNR), features on device. One compiled train step
+per task (the task is a static branch, so each specialisation compiles
+once and is reused).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.joint_dataset import JointDataset, get_joint_filelist
+from ..models import build_generator
+from ..parallel import get_mesh, shard_batch
+from ..utils import build_env
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .trainer import create_states, make_train_step
+
+
+def train_joint(h, log_fn=print) -> None:
+    generator, _ = build_generator(h)
+    domain = "joint"
+
+    train_files, val_files, train_noise, val_noise = get_joint_filelist(
+        h.input_training_wav_list, h.input_validation_wav_list,
+        h.raw_wavfile_path, h.input_noise_wav_list,
+    )
+    log_fn(f"joint training: {len(train_files)} speech files, "
+           f"{len(train_noise)} noise files")
+
+    import math as _math
+    n_avail = len(jax.devices())
+    n_dev = _math.gcd(int(h.batch_size), n_avail)
+    mesh = get_mesh(n_dev) if n_dev > 1 else None
+
+    ds = JointDataset(
+        train_files, train_noise, tuple(h.snr_range), h.segment_size,
+        h.sampling_rate, h.batch_size, task_dict=h.task_dict, seed=h.seed,
+    )
+    steps_per_epoch = max(1, len(ds))
+
+    example_F = h.n_fft // 2 + 1
+    example_T = h.segment_size // h.hop_size + 1
+    example = jnp.zeros((2, example_F, example_T), jnp.float32)
+    gen_state, disc_state = create_states(
+        h, generator, domain, jax.random.PRNGKey(h.seed), steps_per_epoch, example
+    )
+
+    os.makedirs(h.checkpoint_path, exist_ok=True)
+    if h.get("config_path"):
+        build_env(h.config_path, "config.json", h.checkpoint_path)
+    gen_state, disc_state, steps, last_epoch = restore_checkpoint(
+        h.checkpoint_path, gen_state, disc_state
+    )
+
+    step_fns = {
+        task: make_train_step(h, generator, domain, mesh=mesh, joint_task=task)
+        for task in ("denoise", "vocoder")
+    }
+
+    try:
+        from tensorboardX import SummaryWriter
+        sw = SummaryWriter(os.path.join(h.checkpoint_path, "logs"))
+    except Exception:
+        sw = None
+
+    for epoch in range(max(0, last_epoch), h.training_epochs):
+        t0 = time.time()
+        for noisy, clean, task in ds:
+            clean_j = jnp.asarray(clean)
+            noisy_j = jnp.asarray(noisy)
+            if mesh is not None:
+                clean_j = shard_batch(clean_j, mesh)
+                noisy_j = shard_batch(noisy_j, mesh)
+            gen_state, disc_state, metrics = step_fns[task].train_step(
+                gen_state, disc_state, clean_j, noisy_j
+            )
+
+            if steps % h.stdout_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                log_fn(f"epoch {epoch + 1} step {steps} task={task} "
+                       + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())))
+            if steps % h.checkpoint_interval == 0 and steps != 0:
+                save_checkpoint(h.checkpoint_path, steps, epoch, gen_state,
+                                disc_state, max_to_keep=h.max_to_keep)
+            if sw is not None and steps % h.summary_interval == 0:
+                for k, v in metrics.items():
+                    sw.add_scalar(f"training/{task}/{k}", float(v), steps)
+
+            steps += 1
+            if steps > h.training_steps:
+                save_checkpoint(h.checkpoint_path, steps - 1, epoch, gen_state,
+                                disc_state, max_to_keep=h.max_to_keep)
+                log_fn("training finished (step budget reached)")
+                return
+        log_fn(f"epoch {epoch + 1} took {int(time.time() - t0)}s")

@@ -56,7 +56,7 @@ from ..losses import (
     stft_consistency_loss,
 )
 from ..models import MultiPeriodDiscriminator, MultiResolutionDiscriminator, MultiScaleDiscriminator
-from ..ops import amp_pha_spectrum, hann_window, mel_spectrogram, stft_ri
+from ..ops import amp_pha_spectrum, hann_window, inverse_mel, mel_spectrogram, stft_ri
 from ..parallel import batch_sharding, replicated_sharding
 
 
@@ -90,7 +90,7 @@ class TrainStepFns:
 
 def _build_discs(h, domain: str):
     mpd = MultiPeriodDiscriminator(periods=tuple(h.mpd_reshapes))
-    if domain == "tf":
+    if domain in ("tf", "joint"):
         scale_disc = MultiResolutionDiscriminator()
         scale_weight = h.mrd_weight
     else:
@@ -122,20 +122,43 @@ def create_states(h, generator, domain: str, rng, steps_per_epoch: int,
     return gen_state, disc_state
 
 
-def make_train_step(h, generator, domain: str, mesh=None) -> TrainStepFns:
-    """Build the jitted GAN train/eval step for a generator + config."""
+def make_train_step(h, generator, domain: str, mesh=None,
+                    joint_task: str | None = None) -> TrainStepFns:
+    """Build the jitted GAN train/eval step for a generator + config.
+
+    domain "joint" (train_tf_wi_inv_joint_denoise_vocoder.py): audio is
+    the CLEAN wave and aux_input the INPUT wave (noisy for denoise,
+    clean for vocoder); joint_task selects the input-feature branch
+    statically (one compiled step per task).
+    """
     mpd, scale_disc, scale_weight = _build_discs(h, domain)
-    use_ls = domain == "tf" or h.model_name in ("HiFiGAN", "iSTFTNet")
+    use_ls = domain in ("tf", "joint") or h.model_name in ("HiFiGAN", "iSTFTNet")
     d_loss_fn = ls_discriminator_loss if use_ls else hinge_discriminator_loss
     g_loss_fn = ls_generator_loss if use_ls else hinge_generator_loss
 
     sr = h.sampling_rate
     melargs = (h.n_fft, h.num_mels, sr, h.hop_size, h.win_size)
+    # h.meloss is the fmax of the mel-loss target; null -> sr/2
+    # (dataset.py:230-241 passes sr/2; the joint dataset passes h.meloss)
+    meloss_fmax = h.get("meloss") or sr / 2.0
+    amp_eps = 1e-5 if domain == "joint" else 1e-7  # joint dup uses 1e-5
 
-    def features(audio):
-        """On-device feature extraction (reference dataset.py:218-244)."""
+    def features(audio, aux_input=None):
+        """On-device feature extraction (reference dataset.py:218-244,
+        dataset_joint_denoise_vocoder.py:344-392)."""
+        meloss = mel_spectrogram(audio, *melargs, h.fmin, meloss_fmax)
+        if domain == "joint":
+            logamp, pha, rea, imag = amp_pha_spectrum(
+                audio, h.n_fft, h.hop_size, h.win_size, eps=amp_eps)
+            if joint_task == "denoise":
+                inpt = amp_pha_spectrum(aux_input, h.n_fft, h.hop_size,
+                                        h.win_size, eps=amp_eps)[0]
+            else:  # vocoder: log pseudo-inverse mel of the input wave
+                mel = mel_spectrogram(aux_input, *melargs, h.fmin, h.fmax)
+                inv = inverse_mel(mel, *melargs, h.fmin, h.fmax)
+                inpt = jnp.log(jnp.clip(jnp.abs(inv), 1e-5, None))
+            return inpt, meloss, logamp, pha, rea, imag
         mel = mel_spectrogram(audio, *melargs, h.fmin, h.fmax)
-        meloss = mel_spectrogram(audio, *melargs, h.fmin, sr / 2.0)
         if domain == "tf":
             logamp, pha, rea, imag = amp_pha_spectrum(audio, h.n_fft, h.hop_size, h.win_size)
             return mel, meloss, logamp, pha, rea, imag
@@ -154,19 +177,21 @@ def make_train_step(h, generator, domain: str, mesh=None) -> TrainStepFns:
         return scale_disc.apply({"params": params}, y, y_hat), None
 
     def gen_forward(gen_params, mel, aux_input):
-        if domain == "tf":
-            if aux_input is not None:
-                return generator.apply({"params": gen_params}, mel, aux_input)
-            return generator.apply({"params": gen_params}, mel)
+        # joint: 'mel' is already the input spectrum for BSRNN_24k
+        if domain == "tf" and aux_input is not None:
+            return generator.apply({"params": gen_params}, mel, aux_input)
         return generator.apply({"params": gen_params}, mel)
 
+    tf_like = domain in ("tf", "joint")
+
     def train_step(gen_state: GenState, disc_state: DiscState, audio, aux_input=None):
-        mel, meloss, logamp, pha, rea, imag = features(audio)
+        mel, meloss, logamp, pha, rea, imag = features(audio, aux_input)
         y = audio
+        gen_aux = None if domain == "joint" else aux_input
 
         # --- generator forward once, VJP saved for the G update
-        outs, gen_vjp = jax.vjp(lambda p: gen_forward(p, mel, aux_input), gen_state.params)
-        if domain == "tf":
+        outs, gen_vjp = jax.vjp(lambda p: gen_forward(p, mel, gen_aux), gen_state.params)
+        if tf_like:
             logamp_g, pha_g, rea_g, imag_g, y_g = outs
         else:
             y_g = outs
@@ -195,7 +220,7 @@ def make_train_step(h, generator, domain: str, mesh=None) -> TrainStepFns:
         # --- generator update against the UPDATED discriminator
         def gen_loss(outs):
             metrics = {}
-            if domain == "tf":
+            if tf_like:
                 logamp_g, pha_g, rea_g, imag_g, y_g = outs
                 y_gc = y_g[..., :y_min]
                 L_A = amplitude_loss(logamp, logamp_g)
@@ -215,7 +240,7 @@ def make_train_step(h, generator, domain: str, mesh=None) -> TrainStepFns:
                 y_gc = y_g[..., :y_min]
                 L_A = L_P = L_S = 0.0
 
-            y_g_mel = mel_spectrogram(y_gc, *melargs, h.fmin, sr / 2.0)
+            y_g_mel = mel_spectrogram(y_gc, *melargs, h.fmin, meloss_fmax)
             L_Mel = jnp.mean(jnp.abs(meloss - y_g_mel))
             metrics["Mel"] = L_Mel
 
@@ -229,7 +254,7 @@ def make_train_step(h, generator, domain: str, mesh=None) -> TrainStepFns:
             L_GAN = loss_gen_s * scale_weight + loss_gen_f
             L_FM = feature_loss(fr_s, fg_s) * scale_weight + feature_loss(fr_f, fg_f)
             L_W = L_GAN + L_FM + 45.0 * L_Mel
-            if domain == "tf":
+            if tf_like:
                 L_G = 45.0 * L_A + 100.0 * L_P + 20.0 * L_S + L_W
             else:
                 L_G = L_W
@@ -245,10 +270,11 @@ def make_train_step(h, generator, domain: str, mesh=None) -> TrainStepFns:
 
     def eval_step(gen_state: GenState, audio, aux_input=None):
         """Validation: full losses under no-grad (train_tf_wi_inv.py:313-417)."""
-        mel, meloss, logamp, pha, rea, imag = features(audio)
-        outs = gen_forward(gen_state.params, mel, aux_input)
+        mel, meloss, logamp, pha, rea, imag = features(audio, aux_input)
+        outs = gen_forward(gen_state.params, mel,
+                           None if domain == "joint" else aux_input)
         metrics = {}
-        if domain == "tf":
+        if domain in ("tf", "joint"):
             logamp_g, pha_g, rea_g, imag_g, y_g = outs
             metrics["A"] = amplitude_loss(logamp, logamp_g)
             ip, gd, ptd = phase_loss(pha, pha_g)
@@ -258,7 +284,7 @@ def make_train_step(h, generator, domain: str, mesh=None) -> TrainStepFns:
         else:
             y_g = outs
         y_min = min(int(y_g.shape[-1]), int(audio.shape[-1]))
-        y_g_mel = mel_spectrogram(y_g[..., :y_min], *melargs, h.fmin, sr / 2.0)
+        y_g_mel = mel_spectrogram(y_g[..., :y_min], *melargs, h.fmin, meloss_fmax)
         T = min(int(meloss.shape[-1]), int(y_g_mel.shape[-1]))
         metrics["Mel"] = jnp.mean(jnp.abs(meloss[..., :T] - y_g_mel[..., :T]))
         return y_g, metrics

@@ -1,0 +1,73 @@
+"""Metric sanity tests: identity scores, degradation ordering, pitch."""
+import numpy as np
+import pytest
+
+from nvse_tpu.metrics import estoi, f0_metrics, lsd, mcd, snr, stoi, yin_f0
+
+SR = 22050
+RNG = np.random.default_rng(3)
+
+
+def _speechish(n=SR * 2, f0=150.0):
+    """Harmonic signal with slow amplitude modulation (speech-like)."""
+    t = np.arange(n) / SR
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * 3 * t)
+    x = np.zeros(n)
+    for k in range(1, 8):
+        x += np.sin(2 * np.pi * k * f0 * t) / k
+    return (0.2 * env * x).astype(np.float32)
+
+
+def test_snr_identity_and_noise():
+    x = _speechish()
+    noisy = x + 0.01 * RNG.standard_normal(len(x)).astype(np.float32)
+    assert snr(x, x, SR) == np.inf
+    s = snr(x, noisy, SR)
+    assert 20 < s < 40
+
+
+def test_lsd_ordering():
+    x = _speechish()
+    slightly = x + 0.001 * RNG.standard_normal(len(x)).astype(np.float32)
+    badly = x + 0.1 * RNG.standard_normal(len(x)).astype(np.float32)
+    assert lsd(x, x, SR) < 1e-6
+    assert lsd(x, slightly, SR) < lsd(x, badly, SR)
+
+
+def test_stoi_identity_and_ordering():
+    x = _speechish(SR * 3)
+    s_self = stoi(x, x, SR)
+    assert s_self > 0.99
+    noisy = x + 0.05 * RNG.standard_normal(len(x)).astype(np.float32)
+    s_noisy = stoi(x, noisy, SR)
+    assert 0.1 < s_noisy < s_self
+    e_self = estoi(x, x, SR)
+    assert e_self > 0.95
+
+
+def test_mcd_identity_and_ordering():
+    x = _speechish()
+    assert mcd(x, x, SR) < 1e-6
+    noisy = x + 0.05 * RNG.standard_normal(len(x)).astype(np.float32)
+    assert mcd(x, noisy, SR) > 0.5
+
+
+def test_yin_pitch_accuracy():
+    t = np.arange(SR) / SR
+    for f0 in (110.0, 220.0, 330.0):
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        est = yin_f0(x, SR)
+        voiced = est[est > 0]
+        assert len(voiced) > 0.8 * len(est)
+        assert abs(np.median(voiced) - f0) / f0 < 0.02, (f0, np.median(voiced))
+
+
+def test_f0_metrics_shifted_pitch():
+    t = np.arange(SR) / SR
+    a = np.sin(2 * np.pi * 200.0 * t).astype(np.float32)
+    b = np.sin(2 * np.pi * 210.0 * t).astype(np.float32)
+    m = f0_metrics(a, b, SR)
+    assert 5 < m["f0_rmse"] < 20
+    m_same = f0_metrics(a, a, SR)
+    assert m_same["f0_rmse"] < 1.0
+    assert m_same["vuv_error"] < 0.1
