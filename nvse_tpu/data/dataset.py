@@ -104,13 +104,25 @@ class PrefetchLoader:
     """
 
     def __init__(self, dataset: SegmentDataset, batch_size: int,
-                 num_workers: int = 4, seed: int = 1234, drop_last: bool = True):
+                 num_workers: int = 4, seed: int = 1234, drop_last: bool = True,
+                 use_native: str | bool = "auto"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+        self._native = None
+        if use_native in ("auto", True) and dataset.split:
+            # native whole-batch decode+crop (C++ thread pool) — valid
+            # only when the corpus is already at the target sample rate;
+            # probe the first file once and trust corpus homogeneity
+            from . import native as _native_mod
+
+            if _native_mod.available() and len(dataset.files):
+                probe = _native_mod.read_wav_native(dataset.files[0])
+                if probe is not None and probe[1] == dataset.sampling_rate:
+                    self._native = _native_mod
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -128,13 +140,24 @@ class PrefetchLoader:
         results: dict[int, np.ndarray] = {}
         lock = threading.Lock()
 
+        def make_batch(b, idxs):
+            if self._native is not None:
+                paths = [self.dataset.files[int(i)] for i in idxs]
+                batch = self._native.batch_segments_native(
+                    paths, self.dataset.segment_size,
+                    seed=self.seed * 1_000_003 + self.epoch * 131 + b,
+                )
+                if batch is not None:
+                    return batch
+            return np.stack([self.dataset[int(i)] for i in idxs])
+
         def worker():
             while True:
                 try:
                     b, idxs = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                batch = np.stack([self.dataset[int(i)] for i in idxs])
+                batch = make_batch(b, idxs)
                 with lock:
                     results[b] = batch
                 out_q.put(b)

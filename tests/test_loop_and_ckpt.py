@@ -127,3 +127,22 @@ def test_checkpoint_save_restore_rotation(tmp_path):
     l1 = jax.tree.leaves(gs3.params)
     for a, b in zip(l0, l1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_native_loader_path(wav_env):
+    """Native C++ batch assembly (if built) matches shapes and content domain."""
+    from nvse_tpu.data import native as native_mod
+
+    if not native_mod.available():
+        pytest.skip("native lib not built")
+    _, wav_dir, train_list, val_list = wav_env
+    from nvse_tpu.data import get_dataset_filelist
+    tr, _ = get_dataset_filelist(train_list, val_list, wav_dir)
+    ds = SegmentDataset(tr, segment_size=2048, sampling_rate=22050)
+    loader = PrefetchLoader(ds, batch_size=2, num_workers=2)
+    assert loader._native is not None
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b.shape == (2, 2048) and b.dtype == np.float32
+        assert np.isfinite(b).all() and np.abs(b).max() <= 1.0
