@@ -1,0 +1,173 @@
+"""Import reference PyTorch checkpoints into nvse_tpu parameter trees.
+
+The reference ships pretrained `g_*` torch state dicts
+({"generator": state_dict}, utils.py:59-62). This tool maps those onto
+our Flax parameter pytrees so numerical parity can be validated without
+retraining (SURVEY.md §7 step 7).
+
+Layout conventions (see models/layers.py):
+  torch Conv1d  (out, in/g, k)      -> ours (k, in/g, out)   [transpose 2,1,0]
+  torch ConvT1d (in, out, k)        -> ours (k, in, out)     [transpose 2,0,1]
+  torch Conv2d  (out, in/g, kh, kw) -> ours (kh, kw, in/g, out)
+  torch ConvT2d (in, out, kh, kw)   -> ours (kh, kw, in, out)
+  torch Linear  (out, in)           -> ours (in, out)
+  weight_norm:  weight_v/weight_g   -> v / g (same transposes; g keeps
+                its per-channel axis)
+  LSTM:         weight_ih_l0 (4H,in)-> w_ih_fwd (in, 4H), etc.
+
+Because module naming differs, import is *structural*: we flatten both
+trees in deterministic order per module family and match by shape
+signature. Model-specific name maps can override.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def _to_numpy(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def convert_conv1d(w: np.ndarray) -> np.ndarray:
+    return w.transpose(2, 1, 0)
+
+
+def convert_convtranspose1d(w: np.ndarray) -> np.ndarray:
+    return w.transpose(2, 0, 1)
+
+
+def convert_conv2d(w: np.ndarray) -> np.ndarray:
+    return w.transpose(2, 3, 1, 0)
+
+
+def convert_convtranspose2d(w: np.ndarray) -> np.ndarray:
+    return w.transpose(2, 3, 0, 1)
+
+
+def convert_linear(w: np.ndarray) -> np.ndarray:
+    return w.transpose(1, 0)
+
+
+def convert_tensor(name: str, w: np.ndarray, target_shape: tuple) -> np.ndarray | None:
+    """Try the known layout conversions to hit target_shape."""
+    candidates = [w]
+    if w.ndim == 3:
+        candidates += [w.transpose(2, 1, 0), w.transpose(2, 0, 1)]
+    elif w.ndim == 4:
+        candidates += [w.transpose(2, 3, 1, 0), w.transpose(2, 3, 0, 1)]
+    elif w.ndim == 2:
+        candidates += [w.transpose(1, 0)]
+    for c in candidates:
+        if c.shape == tuple(target_shape):
+            return np.ascontiguousarray(c)
+    # weight-norm g: torch (C,1,1)/(1,C,1) vs ours (1,1,C) etc.
+    if w.size == int(np.prod(target_shape)):
+        return np.ascontiguousarray(w.reshape(target_shape))
+    return None
+
+
+def load_torch_generator(ckpt_path: str) -> dict[str, np.ndarray]:
+    """Load the reference g_* checkpoint -> flat {torch_name: array}."""
+    import torch
+
+    state = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = state.get("generator", state)
+    return {k: _to_numpy(v) for k, v in sd.items()}
+
+
+def import_mrf_generator(torch_params: dict[str, np.ndarray], flax_params: Any,
+                         h) -> Any:
+    """Name-mapped import for the MRF family (HiFiGAN / iSTFTNet).
+
+    Reference torch module names (Models/hifigan.py:83-133 /
+    istftnet.py:271-328): conv_pre, ups.{i}, resblocks.{k}.convs1/2.{j},
+    conv_post — all weight-normed. Returns a new flax param tree.
+    """
+    import jax
+
+    out = jax.tree.map(lambda x: x, flax_params)  # shallow copy
+
+    def put(path: list[str], torch_prefix: str, kind: str):
+        node = out
+        for p in path[:-1]:
+            node = node[p]
+        leafd = node[path[-1]]
+        if kind == "wn_conv1d":
+            leafd["v"] = convert_conv1d(torch_params[f"{torch_prefix}.weight_v"])
+            leafd["g"] = torch_params[f"{torch_prefix}.weight_g"].reshape(leafd["g"].shape)
+            leafd["bias"] = torch_params[f"{torch_prefix}.bias"]
+        elif kind == "wn_convt1d":
+            leafd["v"] = convert_convtranspose1d(torch_params[f"{torch_prefix}.weight_v"])
+            leafd["g"] = torch_params[f"{torch_prefix}.weight_g"].reshape(leafd["g"].shape)
+            leafd["bias"] = torch_params[f"{torch_prefix}.bias"]
+        else:
+            raise ValueError(kind)
+
+    trunk = "MRFUpsampler_0"
+    put([trunk, "Conv1d_0"], "conv_pre", "wn_conv1d")
+    n_up = len(h.upsample_rates)
+    n_k = len(h.resblock_kernel_sizes)
+    n_convs_per_block = 2 * len(h.resblock_dilation_sizes[0]) if h.resblock == "1" \
+        else len(h.resblock_dilation_sizes[0])
+    for i in range(n_up):
+        put([trunk, f"ConvTranspose1d_{i}"], f"ups.{i}", "wn_convt1d")
+    for k in range(n_up * n_k):
+        block = f"ResBlock{h.resblock}_{k}"
+        if h.resblock == "1":
+            n_d = len(h.resblock_dilation_sizes[k % n_k])
+            for j in range(n_d):
+                # our ResBlock1 call order: c1 (dilated), c2 (plain) per stage
+                put([trunk, block, f"Conv1d_{2 * j}"],
+                    f"resblocks.{k}.convs1.{j}", "wn_conv1d")
+                put([trunk, block, f"Conv1d_{2 * j + 1}"],
+                    f"resblocks.{k}.convs2.{j}", "wn_conv1d")
+        else:
+            for j in range(len(h.resblock_dilation_sizes[k % n_k])):
+                put([trunk, block, f"Conv1d_{j}"],
+                    f"resblocks.{k}.convs.{j}", "wn_conv1d")
+    put(["Conv1d_0"], "conv_post", "wn_conv1d")
+    return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
+
+
+def import_by_order(torch_params: dict[str, np.ndarray], flax_params: Any):
+    """Map torch tensors onto a flax param tree by traversal order + shape.
+
+    Both the reference modules and ours declare parameters in forward
+    order, so ordered matching with layout conversion covers the conv
+    trunk models (HiFiGAN/iSTFTNet/APNet family). Raises with a detailed
+    report on any unmatched leaf.
+    """
+    import jax
+
+    leaves, treedef = jax.tree.flatten(flax_params)
+    torch_items = list(torch_params.items())
+    used = [False] * len(torch_items)
+    out_leaves = []
+    report = []
+    for li, leaf in enumerate(leaves):
+        found = None
+        for ti, (name, arr) in enumerate(torch_items):
+            if used[ti]:
+                continue
+            conv = convert_tensor(name, arr, leaf.shape)
+            if conv is not None:
+                found = (ti, name, conv)
+                break
+        if found is None:
+            report.append(f"no torch tensor for flax leaf #{li} shape {leaf.shape}")
+            out_leaves.append(leaf)
+        else:
+            used[found[0]] = True
+            out_leaves.append(found[2].astype(np.float32))
+    unused = [torch_items[i][0] for i in range(len(torch_items)) if not used[i]]
+    if report or unused:
+        raise ValueError(
+            "structural import incomplete:\n" + "\n".join(report)
+            + ("\nunused torch tensors: " + ", ".join(unused) if unused else "")
+        )
+    return jax.tree.unflatten(treedef, out_leaves)

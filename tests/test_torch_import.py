@@ -1,0 +1,100 @@
+"""Checkpoint-import parity: torch MRF generator -> flax, outputs match.
+
+Builds an independent torch implementation of the standard HiFiGAN
+generator topology (conv_pre + ConvTranspose upsamplers + MRF resblocks
++ conv_post, all weight-normed — the public architecture the reference
+also implements), exports its state dict, imports it with
+import_mrf_generator, and checks the two models produce the same
+waveform. This validates every layout conversion end-to-end.
+"""
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+from torch.nn.utils import weight_norm
+
+import jax
+import jax.numpy as jnp
+
+from nvse_tpu.models import build_generator
+from nvse_tpu.utils import AttrDict
+from nvse_tpu.utils.torch_import import import_mrf_generator
+
+H = AttrDict(dict(
+    model_name="HiFiGAN", resblock="1",
+    upsample_rates=[8, 2], upsample_kernel_sizes=[16, 4],
+    upsample_initial_channel=32,
+    resblock_kernel_sizes=[3, 5], resblock_dilation_sizes=[[1, 3], [1, 3]],
+    num_mels=80, sampling_rate=22050, n_fft=1024, hop_size=256,
+    win_size=1024, fmin=0, fmax=8000, segment_size=2048,
+))
+
+
+def _pad(k, d=1):
+    return (k * d - d) // 2
+
+
+class TorchResBlock(nn.Module):
+    def __init__(self, ch, k, dils):
+        super().__init__()
+        self.convs1 = nn.ModuleList(
+            [weight_norm(nn.Conv1d(ch, ch, k, 1, dilation=d, padding=_pad(k, d)))
+             for d in dils])
+        self.convs2 = nn.ModuleList(
+            [weight_norm(nn.Conv1d(ch, ch, k, 1, dilation=1, padding=_pad(k)))
+             for _ in dils])
+
+    def forward(self, x):
+        for c1, c2 in zip(self.convs1, self.convs2):
+            xt = c2(F.leaky_relu(c1(F.leaky_relu(x, 0.1)), 0.1))
+            x = xt + x
+        return x
+
+
+class TorchMRFGen(nn.Module):
+    def __init__(self, h):
+        super().__init__()
+        self.num_kernels = len(h.resblock_kernel_sizes)
+        self.conv_pre = weight_norm(nn.Conv1d(80, h.upsample_initial_channel, 7, 1, padding=3))
+        self.ups = nn.ModuleList()
+        for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+            self.ups.append(weight_norm(nn.ConvTranspose1d(
+                h.upsample_initial_channel // (2**i),
+                h.upsample_initial_channel // (2 ** (i + 1)),
+                k, u, padding=(k - u) // 2)))
+        self.resblocks = nn.ModuleList()
+        for i in range(len(self.ups)):
+            ch = h.upsample_initial_channel // (2 ** (i + 1))
+            for k, d in zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes):
+                self.resblocks.append(TorchResBlock(ch, k, d))
+        self.conv_post = weight_norm(nn.Conv1d(ch, 1, 7, 1, padding=3))
+
+    def forward(self, x):
+        x = self.conv_pre(x)
+        for i in range(len(self.ups)):
+            x = self.ups[i](F.leaky_relu(x, 0.1))
+            xs = None
+            for j in range(self.num_kernels):
+                r = self.resblocks[i * self.num_kernels + j](x)
+                xs = r if xs is None else xs + r
+            x = xs / self.num_kernels
+        x = torch.tanh(self.conv_post(F.leaky_relu(x)))
+        return x.squeeze(1)
+
+
+def test_import_mrf_generator_output_parity():
+    torch.manual_seed(0)
+    tmodel = TorchMRFGen(H).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    gen, _ = build_generator(H)
+    mel_np = np.random.default_rng(0).standard_normal((2, 80, 17)).astype(np.float32) - 4
+    mel = jnp.asarray(mel_np)
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    params = import_mrf_generator(sd, variables["params"], H)
+
+    ours = np.asarray(gen.apply({"params": params}, mel))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(mel_np)).numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
