@@ -11,6 +11,7 @@ from __future__ import annotations
 from .apnet import APNet, APNet2, FreeV
 from .bsrnn import BSRNN, BSRNN_24k
 from .convtasnet import ConvTasNet
+from .cqt_discriminator import DiscriminatorCQT, MultiScaleSubbandCQTDiscriminator
 from .discriminators import (
     MultiPeriodDiscriminator,
     MultiResolutionDiscriminator,

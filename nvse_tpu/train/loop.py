@@ -44,8 +44,44 @@ def _plot_spectrogram(spec: np.ndarray):
     return fig
 
 
+def _setup_debug(h, log_fn) -> None:
+    """Numerics/tracing knobs (SURVEY.md §5.1-2 TPU equivalents).
+
+    h.debug_nans=true is the stand-in for the reference's
+    torch.autograd.set_detect_anomaly(True) (train_tf_wi_inv.py:4);
+    h.profile_dir enables a jax.profiler trace of the first
+    h.profile_steps (default 5) training steps.
+    """
+    if h.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+        log_fn("jax_debug_nans enabled")
+
+
+class _StepProfiler:
+    def __init__(self, h, log_fn):
+        self.dir = h.get("profile_dir")
+        self.remaining = int(h.get("profile_steps", 5)) if self.dir else 0
+        self.active = False
+        self.log_fn = log_fn
+
+    def step(self):
+        if not self.dir:
+            return
+        if self.remaining > 0 and not self.active:
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+            self.log_fn(f"profiler trace started -> {self.dir}")
+        elif self.remaining <= 0 and self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+            self.log_fn("profiler trace stopped")
+        self.remaining -= 1
+
+
 def train(h, log_fn=print) -> None:
     """Run training for config h (the reference's train(h) entry)."""
+    _setup_debug(h, log_fn)
+    profiler = _StepProfiler(h, log_fn)
     generator, domain = build_generator(h)
 
     training_files, validation_files = get_dataset_filelist(
@@ -124,6 +160,7 @@ def train(h, log_fn=print) -> None:
             if mesh is not None:
                 audio = shard_batch(audio, mesh)
             t_step = time.time()
+            profiler.step()
             gen_state, disc_state, metrics = fns.train_step(
                 gen_state, disc_state, audio, None
             )

@@ -113,3 +113,30 @@ def test_hddemucas():
     assert np.isfinite(np.asarray(wav)).all()
     n = _count(params)
     assert abs(n - 38.93e6) / 38.93e6 < 0.02, n
+
+
+def test_cqt_op_detects_tone():
+    """CQT magnitude peaks at the bin matching a pure tone's frequency."""
+    from nvse_tpu.ops.cqt import cqt
+    sr = 22050
+    t = np.arange(sr) / sr
+    f_tone = 440.0
+    x = jnp.asarray(np.sin(2 * np.pi * f_tone * t)[None, :].astype(np.float32))
+    re, im = cqt(x, sr, hop_length=512, n_bins=84, bins_per_octave=12)
+    mag = np.asarray(jnp.sqrt(re**2 + im**2))[0]          # (bins, T)
+    peak_bin = mag.mean(axis=1).argmax()
+    fmin = 32.70319566257483
+    peak_freq = fmin * 2 ** (peak_bin / 12)
+    assert abs(peak_freq - f_tone) / f_tone < 0.06, peak_freq
+
+
+def test_cqt_discriminator_shapes():
+    from nvse_tpu.models.cqt_discriminator import MultiScaleSubbandCQTDiscriminator
+    d = MultiScaleSubbandCQTDiscriminator(
+        sampling_rate=22050, hop_lengths=(512,), n_octaves=(5,),
+        bins_per_octaves=(12,), filters=8)
+    y = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8192)).astype(np.float32))
+    params = d.init(jax.random.PRNGKey(0), y, y)
+    rs, gs, fr, fg = d.apply(params, y, y)
+    assert len(rs) == 1 and len(fr[0]) == 5
+    assert np.isfinite(np.asarray(rs[0])).all()
