@@ -1,0 +1,61 @@
+"""Inference engine tests: bucketing, wav writing, RTF accounting."""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nvse_tpu.data import load_wav, write_wav
+from nvse_tpu.infer import InferenceEngine, run_inference
+from nvse_tpu.utils import AttrDict
+
+
+def _h(tmp_path, wav_dir):
+    return AttrDict(dict(
+        model_name="HiFiGAN", resblock="2",
+        upsample_rates=[8, 8, 2, 2], upsample_kernel_sizes=[16, 16, 4, 4],
+        upsample_initial_channel=32, resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3]],
+        sampling_rate=22050, n_fft=1024, hop_size=256, win_size=1024,
+        num_mels=80, fmin=0, fmax=8000, segment_size=2048,
+        test_input_wavs_dir=wav_dir,
+        test_output_dir=str(tmp_path / "out"),
+        test_mel_load=0,
+    ))
+
+
+@pytest.fixture
+def wavs(tmp_path):
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    sr = 22050
+    for i, n in enumerate([5000, 9000]):  # different lengths -> two buckets
+        t = np.arange(n) / sr
+        x = 0.3 * np.sin(2 * np.pi * (220 + 110 * i) * t)
+        write_wav(str(wav_dir / f"u{i}.wav"), x.astype(np.float32), sr)
+    return str(wav_dir)
+
+
+def test_engine_bucketing(wavs, tmp_path):
+    h = _h(tmp_path, wavs)
+    engine = InferenceEngine(h, bucket_frames=32)
+    mel = engine.mel_of(load_wav(os.path.join(wavs, "u0.wav"), 22050))
+    wav = engine.synthesize_mel(mel, out_len=5000)
+    assert wav.shape == (1, 5000)
+    # two different T land in the same or different buckets; compiled fns cached
+    mel2 = engine.mel_of(load_wav(os.path.join(wavs, "u1.wav"), 22050))
+    wav2 = engine.synthesize_mel(mel2, out_len=9000)
+    assert wav2.shape == (1, 9000)
+    assert len(engine._fns) <= 2
+
+
+def test_run_inference_writes_wavs_and_rtf(wavs, tmp_path):
+    h = _h(tmp_path, wavs)
+    stats = run_inference(h, log_fn=lambda s: None)
+    assert stats["files"] == 2
+    assert stats["rtf"] > 0
+    outs = sorted(os.listdir(h.test_output_dir))
+    assert outs == ["u0.wav", "u1.wav"]
+    y = load_wav(os.path.join(h.test_output_dir, "u0.wav"), 22050)
+    assert len(y) == 5000
