@@ -384,20 +384,10 @@ class LSTM(nn.Module):
             )
             xg = x @ w_ih + b                    # (B, T, 4H) — one big matmul
             xg = jnp.swapaxes(xg, 0, 1)          # time-major (T, B, 4H)
+            # fused recurrence: Pallas kernel on TPU, lax.scan on CPU
+            from ..ops.pallas_lstm import lstm_scan
 
-            def step(carry, xt):
-                h, c = carry
-                gates = xt + h @ w_hh
-                i, f, g, o = jnp.split(gates, 4, axis=-1)
-                i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-                g = jnp.tanh(g)
-                c = f * c + i * g
-                h = o * jnp.tanh(c)
-                return (h, c), h
-
-            B = x.shape[0]
-            init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
-            _, hs = jax.lax.scan(step, init, xg)
+            hs = lstm_scan(xg, w_hh)
             return jnp.swapaxes(hs, 0, 1)        # (B, T, H)
 
         fwd = run_direction(x, "fwd")

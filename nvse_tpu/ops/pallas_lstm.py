@@ -1,0 +1,129 @@
+"""Fused Pallas LSTM recurrence kernel for TPU.
+
+Profiling shows BSRNN inference is sequential-latency-bound: its 16
+time-LSTMs run 1024-step XLA scans whose per-step (B*, 4H) matmuls are
+too small to hide loop overhead (bf16 gives no speedup; batch scaling
+is linear). This kernel runs the WHOLE recurrence inside one
+pallas_call: the grid iterates time steps sequentially (TPU grid
+execution order), Pallas auto-pipelines the per-step input tile
+HBM->VMEM, and the hidden/cell state + W_hh stay resident in VMEM
+scratch across grid steps — no per-step HBM weight re-reads, no
+per-step loop machinery.
+
+Contract (matches layers.LSTM single direction):
+  x_proj (T, B, 4H) = x @ W_ih + b (the big matmul stays in XLA/MXU)
+  w_hh   (H, 4H)
+  -> hs  (T, B, H)
+Gate order (i, f, g, o), torch numerics.
+
+Gradients: custom_vjp whose backward re-runs the pure-XLA scan under
+jax.vjp (recompute); training uses the same public function.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU-capable installs
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+
+def _xla_lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
+    """Reference implementation: lax.scan over time (T, B, 4H)->(T, B, H)."""
+    H = w_hh.shape[0]
+    B = x_proj.shape[1]
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, H), x_proj.dtype), jnp.zeros((B, H), x_proj.dtype))
+    _, hs = jax.lax.scan(step, init, x_proj)
+    return hs
+
+
+def _lstm_kernel(xp_ref, whh_ref, out_ref, h_scratch, c_scratch):
+    # grid = (batch_tiles, T): batch tile is the OUTER axis, so for a
+    # fixed tile the inner axis scans all T steps with h/c resident in
+    # VMEM scratch; reset at t == 0
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+        c_scratch[...] = jnp.zeros_like(c_scratch)
+
+    h = h_scratch[...]
+    gates = xp_ref[0] + jnp.dot(h, whh_ref[...], preferred_element_type=jnp.float32)
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c = f * c_scratch[...] + i * g
+    h = o * jnp.tanh(c)
+    c_scratch[...] = c
+    h_scratch[...] = h
+    out_ref[0] = h
+
+
+_MAX_BATCH_TILE = 512  # keeps VMEM (2 input buffers + state + W_hh) ~3 MB
+
+
+def _pallas_lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    T, B, G = x_proj.shape
+    H = w_hh.shape[0]
+    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    nb = -(-B // Bt)
+    B_pad = nb * Bt
+    if B_pad != B:
+        x_proj = jnp.pad(x_proj, ((0, 0), (0, B_pad - B), (0, 0)))
+    out = pl.pallas_call(
+        _lstm_kernel,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, Bt, G), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((H, G), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, B_pad, H), x_proj.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(x_proj, w_hh)
+    return out[:, :B, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
+    """(T, B, 4H), (H, 4H) -> (T, B, H); Pallas on TPU, XLA scan elsewhere."""
+    if jax.default_backend() == "cpu" or pltpu is None:
+        return _xla_lstm_scan(x_proj, w_hh)
+    return _pallas_lstm_scan(x_proj, w_hh)
+
+
+def _fwd(x_proj, w_hh):
+    return lstm_scan(x_proj, w_hh), (x_proj, w_hh)
+
+
+def _bwd(res, g):
+    x_proj, w_hh = res
+    _, vjp = jax.vjp(_xla_lstm_scan, x_proj, w_hh)
+    return vjp(g)
+
+
+lstm_scan.defvjp(_fwd, _bwd)
