@@ -24,6 +24,10 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: repeat runs skip the ~3 min first compile
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from nvse_tpu.models import build_generator

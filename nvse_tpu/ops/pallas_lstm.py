@@ -78,7 +78,11 @@ def _lstm_kernel(xp_ref, whh_ref, out_ref, h_scratch, c_scratch):
     out_ref[0] = h
 
 
-_MAX_BATCH_TILE = 512  # keeps VMEM (2 input buffers + state + W_hh) ~3 MB
+# Batch rows per tile. Each extra tile re-runs the whole sequential
+# T-loop, so prefer ONE tile whenever VMEM allows: at H=128, G=512 a
+# 1024-row tile costs ~6.3 MB (2x 2MB input buffers + 1MB out + 1MB
+# state + W_hh) of the 16 MB VMEM.
+_MAX_BATCH_TILE = 1024
 
 
 def _pallas_lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,

@@ -142,6 +142,15 @@ def train(h, log_fn=print) -> None:
                     sw.add_audio(f"generated/y_hat_{i}", wav[:, None], step, h.sampling_rate)
                 except Exception:
                     pass
+                if i == 0:
+                    try:  # mel figure like reference train_tf_wi_inv.py:363-394
+                        from ..ops import mel_spectrogram
+                        m = np.asarray(mel_spectrogram(
+                            y_g[:1], h.n_fft, h.num_mels, h.sampling_rate,
+                            h.hop_size, h.win_size, h.fmin, h.sampling_rate / 2))[0]
+                        sw.add_figure("generated/y_hat_spec", _plot_spectrogram(m), step)
+                    except Exception:
+                        pass
         if count:
             for k, v in agg.items():
                 if sw is not None:
@@ -153,12 +162,26 @@ def train(h, log_fn=print) -> None:
            f"{len(train_ds)} files, {steps_per_epoch} steps/epoch, "
            f"{n_dev} device(s)")
 
+    def device_batches(loader):
+        """H2D prefetch: dispatch the next batch's transfer while the
+        current step computes (device_put is async)."""
+        def put(b):
+            a = jnp.asarray(b)
+            return shard_batch(a, mesh) if mesh is not None else jax.device_put(a)
+
+        it = iter(loader)
+        try:
+            nxt = put(next(it))
+        except StopIteration:
+            return
+        for b in it:
+            cur, nxt = nxt, put(b)
+            yield cur
+        yield nxt
+
     for epoch in range(max(0, last_epoch), h.training_epochs):
         t0 = time.time()
-        for batch in loader:
-            audio = jnp.asarray(batch)
-            if mesh is not None:
-                audio = shard_batch(audio, mesh)
+        for audio in device_batches(loader):
             t_step = time.time()
             profiler.step()
             gen_state, disc_state, metrics = fns.train_step(
