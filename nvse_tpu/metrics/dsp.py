@@ -237,3 +237,15 @@ def f0_metrics(ref: np.ndarray, deg: np.ndarray, sr: int) -> dict:
 
 def f0_rmse(ref, deg, sr):
     return f0_metrics(ref, deg, sr)["f0_rmse"]
+
+
+def mcd_dtw(ref: np.ndarray, deg: np.ndarray, sr: int) -> float:
+    """DTW-aligned mel-cepstral distortion (Metrics/mcd_utils.py semantics:
+    SPTK mcep + fastdtw there; DCT mel-cepstra + banded DTW here)."""
+    from .dtw import dtw_path
+
+    R = _mel_cepstra(ref, sr)
+    D = _mel_cepstra(deg, sr)
+    px, py = dtw_path(R, D, band=max(10, abs(len(R) - len(D)) + 10))
+    diff = R[px] - D[py]
+    return float(10.0 * np.sqrt(2.0) * np.mean(np.linalg.norm(diff, axis=1)))

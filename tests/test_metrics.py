@@ -71,3 +71,14 @@ def test_f0_metrics_shifted_pitch():
     m_same = f0_metrics(a, a, SR)
     assert m_same["f0_rmse"] < 1.0
     assert m_same["vuv_error"] < 0.1
+
+
+def test_dtw_alignment():
+    from nvse_tpu.metrics import dtw_path, mcd_dtw
+    X = np.random.default_rng(0).standard_normal((30, 4))
+    # Y = X with a repeated middle section (time-warped copy)
+    Y = np.concatenate([X[:15], X[14:15], X[15:]], axis=0)
+    px, py = dtw_path(X, Y)
+    assert np.abs(X[px] - Y[py]).max() < 1e-12  # perfect alignment
+    x = _speechish()
+    assert mcd_dtw(x, x, SR) < 1e-6
