@@ -27,7 +27,7 @@ Key torch semantics implemented:
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ not a scatter, so it compiles to pure vector adds.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

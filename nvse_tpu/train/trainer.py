@@ -36,13 +36,11 @@ steps_per_epoch.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
 
 from ..losses import (
@@ -56,7 +54,7 @@ from ..losses import (
     stft_consistency_loss,
 )
 from ..models import MultiPeriodDiscriminator, MultiResolutionDiscriminator, MultiScaleDiscriminator
-from ..ops import amp_pha_spectrum, hann_window, inverse_mel, mel_spectrogram, stft_ri
+from ..ops import amp_pha_spectrum, inverse_mel, mel_spectrogram
 from ..parallel import batch_sharding, replicated_sharding
 
 
