@@ -220,14 +220,25 @@ def stft_ri(
         pad = n_fft // 2
         y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
 
-    frames = _frame(y, n_fft, hop_size)          # (..., T, n_fft)
-    frames = frames * win
     F = n_fft // 2 + 1
     if _use_matmul_dft():
-        basis = jnp.asarray(_rdft_basis_np(n_fft))
-        ri = jnp.einsum("...tn,nk->...tk", frames, basis)  # (..., T, 2F)
+        # framing + window + DFT fused into ONE strided convolution:
+        # kernel (n_fft, 1, 2F) = window ⊙ real-DFT basis. Critically,
+        # the BACKWARD of a conv is a conv (fast on TPU) whereas the
+        # backward of gather-based framing is a scatter-add, which is
+        # catastrophically slow on TPU and sits on the G-loss gradient
+        # path through every mel / consistency / MRD spectrogram.
+        kernel = jnp.asarray(_rdft_basis_np(n_fft) * win[:, None])[:, None, :]
+        lead = y.shape[:-1]
+        ri = jax.lax.conv_general_dilated(
+            y.reshape(-1, y.shape[-1], 1), kernel,
+            window_strides=(hop_size,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )                                        # (prod(lead), T, 2F)
+        ri = ri.reshape(*lead, *ri.shape[1:])
         re, im = ri[..., :F], ri[..., F:]
     else:
+        frames = _frame(y, n_fft, hop_size) * jnp.asarray(win)
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
         re, im = jnp.real(spec), jnp.imag(spec)
     return jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2)

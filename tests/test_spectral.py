@@ -164,3 +164,22 @@ def test_mel_gradient_finite_at_silence():
             lambda w: jnp.sum(mel_spectrogram(w, 1024, 80, 22050, 256, 1024, 0, 8000))
         )(jnp.asarray(sig))
         assert bool(jnp.isfinite(g).all())
+
+
+def test_matmul_dft_path_matches_fft(monkeypatch):
+    """The TPU conv-DFT path must match the CPU rfft path exactly."""
+    from nvse_tpu.ops import spectral as S
+
+    y = jnp.asarray(_rand_audio(L=4096))
+    ref_re, ref_im = S.stft_ri(y, 1024, 256, 1024, window=hann_window(1024))
+    rect_re, rect_im = S.stft_ri(y, 512, 128, 512, window=None)
+    monkeypatch.setattr(S, "_use_matmul_dft", lambda: True)
+    got_re, got_im = S.stft_ri(y, 1024, 256, 1024, window=hann_window(1024))
+    np.testing.assert_allclose(np.asarray(got_re), np.asarray(ref_re), rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_im), np.asarray(ref_im), rtol=1e-4, atol=2e-3)
+    g2 = S.stft_ri(y, 512, 128, 512, window=None)
+    np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(rect_re), rtol=1e-4, atol=2e-3)
+    # istft matmul path
+    ref_wav = S.istft_ri(ref_re, ref_im, 1024, 256, 1024, window=hann_window(1024))
+    got_wav = S.istft_ri(got_re, got_im, 1024, 256, 1024, window=hann_window(1024))
+    np.testing.assert_allclose(np.asarray(got_wav), np.asarray(ref_wav), rtol=1e-4, atol=1e-4)
