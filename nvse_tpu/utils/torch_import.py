@@ -134,6 +134,80 @@ def import_mrf_generator(torch_params: dict[str, np.ndarray], flax_params: Any,
     return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
 
 
+def import_bsrnn(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
+    """Name-mapped import for BSRNN / BSRNN_24k.
+
+    Reference torch names (Models/bsrnn.py:112-141): per-band
+    ``encoder.{i}.0/1`` (LayerNorm + Linear), ``separator.{k}`` BSNets
+    (time_rnn/band_rnn ResRNNs + out_norm), per-band
+    ``decoder_mag.{i}.*`` / ``decoder_phase.{i}.*``. Our encoder/decoder
+    parameters are STACKED per width group, so per-band torch tensors
+    are gathered into the group arrays row by row.
+    """
+    import jax
+
+    from ..models.bsrnn import _band_groups, band_plan
+
+    widths = band_plan(h.sampling_rate, h.n_fft)
+    groups = _band_groups(widths)
+    out = jax.tree.map(lambda x: np.array(x), flax_params)
+    core = out["BSRNNCore_0"]
+
+    # --- encoder groups
+    enc = core["_GroupedBandEncoder_0"]
+    band = 0
+    for gi, (w, n, _off) in enumerate(groups):
+        for r in range(n):
+            i = band + r
+            enc[f"ln_scale_{gi}"][r, 0] = torch_params[f"encoder.{i}.0.weight"]
+            enc[f"ln_bias_{gi}"][r, 0] = torch_params[f"encoder.{i}.0.bias"]
+            enc[f"w_{gi}"][r] = torch_params[f"encoder.{i}.1.weight"].T
+            enc[f"b_{gi}"][r, 0] = torch_params[f"encoder.{i}.1.bias"]
+        band += n
+
+    # --- decoders (mag = _GroupedBandDecoder_0, phase = _1)
+    for dec_key, tname in (("_GroupedBandDecoder_0", "decoder_mag"),
+                           ("_GroupedBandDecoder_1", "decoder_phase")):
+        dec = core[dec_key]
+        band = 0
+        for gi, (w, n, _off) in enumerate(groups):
+            for r in range(n):
+                i = band + r
+                dec[f"ln_scale_{gi}"][r, 0] = torch_params[f"{tname}.{i}.0.weight"]
+                dec[f"ln_bias_{gi}"][r, 0] = torch_params[f"{tname}.{i}.0.bias"]
+                dec[f"w1_{gi}"][r] = torch_params[f"{tname}.{i}.1.weight"].T
+                dec[f"b1_{gi}"][r, 0] = torch_params[f"{tname}.{i}.1.bias"]
+                dec[f"w2_{gi}"][r] = torch_params[f"{tname}.{i}.3.weight"].T
+                dec[f"b2_{gi}"][r, 0] = torch_params[f"{tname}.{i}.3.bias"]
+            band += n
+
+    # --- separator BSNets
+    def put_resrnn(node, prefix, bidirectional):
+        node["LayerNorm_0"]["scale"] = torch_params[f"{prefix}.norm.weight"]
+        node["LayerNorm_0"]["bias"] = torch_params[f"{prefix}.norm.bias"]
+        lstm = node["LSTM_0"]
+        lstm["w_ih_fwd"] = torch_params[f"{prefix}.rnn.weight_ih_l0"].T
+        lstm["w_hh_fwd"] = torch_params[f"{prefix}.rnn.weight_hh_l0"].T
+        lstm["b_ih_fwd"] = torch_params[f"{prefix}.rnn.bias_ih_l0"]
+        lstm["b_hh_fwd"] = torch_params[f"{prefix}.rnn.bias_hh_l0"]
+        if bidirectional:
+            lstm["w_ih_bwd"] = torch_params[f"{prefix}.rnn.weight_ih_l0_reverse"].T
+            lstm["w_hh_bwd"] = torch_params[f"{prefix}.rnn.weight_hh_l0_reverse"].T
+            lstm["b_ih_bwd"] = torch_params[f"{prefix}.rnn.bias_ih_l0_reverse"]
+            lstm["b_hh_bwd"] = torch_params[f"{prefix}.rnn.bias_hh_l0_reverse"]
+        node["Linear_0"]["kernel"] = torch_params[f"{prefix}.proj.weight"].T
+        node["Linear_0"]["bias"] = torch_params[f"{prefix}.proj.bias"]
+
+    for k in range(h.num_repeat):
+        bs = core[f"BSNet_{k}"]
+        put_resrnn(bs["ResRNN_0"], f"separator.{k}.time_rnn", not h.causal)
+        put_resrnn(bs["ResRNN_1"], f"separator.{k}.band_rnn", True)
+        bs["LayerNorm_0"]["scale"] = torch_params[f"separator.{k}.out_norm.weight"]
+        bs["LayerNorm_0"]["bias"] = torch_params[f"separator.{k}.out_norm.bias"]
+
+    return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
+
+
 def import_by_order(torch_params: dict[str, np.ndarray], flax_params: Any):
     """Map torch tensors onto a flax param tree by traversal order + shape.
 

@@ -98,3 +98,60 @@ def test_import_mrf_generator_output_parity():
         theirs = tmodel(torch.from_numpy(mel_np)).numpy()
     assert ours.shape == theirs.shape
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
+
+
+def test_import_bsrnn_structural():
+    """Synthetic state dict with band-tagged values lands in the right
+    group rows, and the imported model runs."""
+    from nvse_tpu.models.bsrnn import _band_groups, band_plan
+    from nvse_tpu.utils.torch_import import import_bsrnn
+
+    h = AttrDict(dict(
+        model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0,
+        causal=False, sampling_rate=22050, n_fft=1024, hop_size=256,
+        win_size=1024, num_mels=80, fmin=0, fmax=8000, segment_size=2048,
+    ))
+    gen, _ = build_generator(h)
+    mel = jnp.zeros((1, 80, 9))
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    widths = band_plan(22050, 1024)
+    C = 8
+    sd = {}
+    for i, w in enumerate(widths):
+        sd[f"encoder.{i}.0.weight"] = np.full(w, 1.0 + i, np.float32)
+        sd[f"encoder.{i}.0.bias"] = np.zeros(w, np.float32)
+        sd[f"encoder.{i}.1.weight"] = np.full((C, w), 10.0 + i, np.float32)
+        sd[f"encoder.{i}.1.bias"] = np.zeros(C, np.float32)
+        for tname, mult in (("decoder_mag", 1), ("decoder_phase", 2)):
+            sd[f"{tname}.{i}.0.weight"] = np.ones(C, np.float32)
+            sd[f"{tname}.{i}.0.bias"] = np.zeros(C, np.float32)
+            sd[f"{tname}.{i}.1.weight"] = np.full((4 * C, C), 0.01, np.float32)
+            sd[f"{tname}.{i}.1.bias"] = np.zeros(4 * C, np.float32)
+            sd[f"{tname}.{i}.3.weight"] = np.full((mult * w, 4 * C), 0.01, np.float32)
+            sd[f"{tname}.{i}.3.bias"] = np.zeros(mult * w, np.float32)
+    rng = np.random.default_rng(0)
+    for p in ("time_rnn", "band_rnn"):
+        pre = f"separator.0.{p}"
+        sd[f"{pre}.norm.weight"] = np.ones(C, np.float32)
+        sd[f"{pre}.norm.bias"] = np.zeros(C, np.float32)
+        for d in ("", "_reverse"):
+            sd[f"{pre}.rnn.weight_ih_l0{d}"] = rng.standard_normal((4 * C, C)).astype(np.float32) * 0.1
+            sd[f"{pre}.rnn.weight_hh_l0{d}"] = rng.standard_normal((4 * C, C)).astype(np.float32) * 0.1
+            sd[f"{pre}.rnn.bias_ih_l0{d}"] = np.zeros(4 * C, np.float32)
+            sd[f"{pre}.rnn.bias_hh_l0{d}"] = np.zeros(4 * C, np.float32)
+        sd[f"{pre}.proj.weight"] = rng.standard_normal((C, 2 * C)).astype(np.float32) * 0.1
+        sd[f"{pre}.proj.bias"] = np.zeros(C, np.float32)
+    sd["separator.0.out_norm.weight"] = np.ones(C, np.float32)
+    sd["separator.0.out_norm.bias"] = np.zeros(C, np.float32)
+
+    params = import_bsrnn(sd, variables["params"], h)
+    enc = params["BSRNNCore_0"]["_GroupedBandEncoder_0"]
+    # band-tagged values placed at the right group rows
+    band = 0
+    for gi, (w, n, _off) in enumerate(_band_groups(tuple(widths))):
+        for r in range(n):
+            assert enc[f"ln_scale_{gi}"][r, 0, 0] == 1.0 + band + r
+            assert enc[f"w_{gi}"][r, 0, 0] == 10.0 + band + r
+        band += n
+    outs = gen.apply({"params": params}, jnp.zeros((1, 80, 9)) - 4.0)
+    assert np.isfinite(np.asarray(outs[0])).all()
