@@ -117,6 +117,13 @@ def create_states(h, generator, domain: str, rng, steps_per_epoch: int,
         apply_fn=None, params=disc_params, tx=make_optimizer(h, steps_per_epoch),
         spectral=spectral,
     )
+    # strong-typed step counters: TrainState.create's python-int 0 is a
+    # weak-typed aval; after the first apply_gradients it becomes strong
+    # int32, which would retrace (and fully recompile) the train step
+    # (distinct arrays — both states are donated, and donating the same
+    # buffer twice is an error)
+    gen_state = gen_state.replace(step=jnp.asarray(0, jnp.int32))
+    disc_state = disc_state.replace(step=jnp.asarray(0, jnp.int32))
     return gen_state, disc_state
 
 
