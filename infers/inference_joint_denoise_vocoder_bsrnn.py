@@ -31,13 +31,13 @@ def main() -> None:
     import jax.numpy as jnp
 
     from nvse_tpu.data import load_wav, write_wav
-    from nvse_tpu.infer.engine import InferenceEngine, _resolve_filelist
+    from nvse_tpu.infer.engine import InferenceEngine, resolve_filelist
     from nvse_tpu.ops import amp_pha_spectrum, inverse_mel, mel_spectrogram
     from nvse_tpu.utils import load_config
 
     h = load_config(args.cfg_filename)
     engine = InferenceEngine(h)
-    files = _resolve_filelist(h)
+    files = resolve_filelist(h)
     if args.limit:
         files = files[: args.limit]
     os.makedirs(h.test_output_dir, exist_ok=True)

@@ -93,7 +93,7 @@ class InferenceEngine:
         self._fn(Tb)(self.params, mel).block_until_ready()
 
 
-def _resolve_filelist(h) -> list[str]:
+def resolve_filelist(h) -> list[str]:
     """Reference filelist semantics (infers/inference_bsrnn.py:47-55)."""
     src = h.test_input_wavs_dir
     if os.path.isfile(src):
@@ -106,7 +106,7 @@ def _resolve_filelist(h) -> list[str]:
 def run_inference(h, limit: int | None = None, log_fn=print) -> dict:
     """Decode the test set, write wavs, print + return RTF stats."""
     engine = InferenceEngine(h)
-    files = _resolve_filelist(h)
+    files = resolve_filelist(h)
     if limit:
         files = files[:limit]
     os.makedirs(h.test_output_dir, exist_ok=True)

@@ -95,8 +95,10 @@ def train(h, log_fn=print) -> None:
     n_dev = _math.gcd(int(h.batch_size), n_avail)
     mesh = get_mesh(n_dev) if n_dev > 1 else None
 
+    # multi-host: each process loads its static shard of the filelist
     train_ds = SegmentDataset(training_files, h.segment_size, h.sampling_rate,
-                              seed=h.seed)
+                              seed=h.seed, shard_id=jax.process_index(),
+                              num_shards=jax.process_count())
     loader = PrefetchLoader(train_ds, h.batch_size, num_workers=h.num_workers,
                             seed=h.seed)
     steps_per_epoch = max(1, len(loader))
