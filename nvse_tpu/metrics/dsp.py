@@ -249,3 +249,63 @@ def mcd_dtw(ref: np.ndarray, deg: np.ndarray, sr: int) -> float:
     px, py = dtw_path(R, D, band=max(10, abs(len(R) - len(D)) + 10))
     diff = R[px] - D[py]
     return float(10.0 * np.sqrt(2.0) * np.mean(np.linalg.norm(diff, axis=1)))
+
+
+def yin_f0_conf(x: np.ndarray, sr: int, **kw):
+    """YIN F0 plus per-frame periodicity confidence (1 - cmnd at tau)."""
+    # re-run the YIN loop but also collect the cmnd minimum
+    fmin = kw.get("fmin", 60.0); fmax = kw.get("fmax", 500.0)
+    frame = kw.get("frame", 1024); hop = kw.get("hop", 256)
+    threshold = kw.get("threshold", 0.15)
+    tau_min = int(sr / fmax); tau_max = int(sr / fmin)
+    n_frames = 1 + max(0, (len(x) - frame - tau_max)) // hop
+    f0 = np.zeros(n_frames); conf = np.zeros(n_frames)
+    for i in range(n_frames):
+        seg = x[i * hop : i * hop + frame + tau_max]
+        w = seg[:frame]
+        cum = np.concatenate([[0.0], np.cumsum(seg * seg)])
+        e0 = cum[frame]
+        lags = np.arange(tau_max + 1)
+        idx = lags[:, None] + np.arange(frame)[None, :]
+        r = seg[idx] @ w
+        d = e0 + (cum[lags + frame] - cum[lags]) - 2.0 * r
+        cmnd = np.ones(tau_max + 1)
+        run = np.cumsum(d[1:])
+        cmnd[1:] = d[1:] * np.arange(1, tau_max + 1) / np.maximum(run, 1e-12)
+        tau = 0
+        for t in range(tau_min, tau_max):
+            if cmnd[t] < threshold:
+                while t + 1 <= tau_max and cmnd[t + 1] < cmnd[t]:
+                    t += 1
+                tau = t
+                break
+        best = tau if tau else tau_min + int(np.argmin(cmnd[tau_min:tau_max]))
+        conf[i] = max(0.0, 1.0 - cmnd[best])
+        if tau == 0 and cmnd[best] < 0.5:
+            tau = best
+        if tau > 0:
+            f0[i] = sr / tau
+    return f0, conf
+
+
+def periodicity_metrics(ref: np.ndarray, deg: np.ndarray, sr: int) -> dict:
+    """Periodicity RMSE, pitch RMSE (cents->Hz style), V/UV F1.
+
+    Counterpart of the reference Metrics/evaluate.py (cargan/torchcrepe
+    there; YIN periodicity confidence here).
+    """
+    f0r, cr = yin_f0_conf(ref, sr)
+    f0d, cd = yin_f0_conf(deg, sr)
+    n = min(len(f0r), len(f0d))
+    f0r, f0d, cr, cd = f0r[:n], f0d[:n], cr[:n], cd[:n]
+    vr, vd = f0r > 0, f0d > 0
+    tp = float(np.sum(vr & vd)); fp = float(np.sum(~vr & vd)); fn = float(np.sum(vr & ~vd))
+    f1 = 2 * tp / max(2 * tp + fp + fn, 1e-9)
+    out = {"periodicity_rmse": float(np.sqrt(np.mean((cr - cd) ** 2))), "vuv_f1": f1}
+    both = vr & vd
+    if both.any():
+        cents = 1200.0 * np.log2(np.maximum(f0d[both], 1e-9) / np.maximum(f0r[both], 1e-9))
+        out["pitch_rmse_cents"] = float(np.sqrt(np.mean(cents ** 2)))
+    else:
+        out["pitch_rmse_cents"] = float("nan")
+    return out

@@ -82,3 +82,16 @@ def test_dtw_alignment():
     assert np.abs(X[px] - Y[py]).max() < 1e-12  # perfect alignment
     x = _speechish()
     assert mcd_dtw(x, x, SR) < 1e-6
+
+
+def test_periodicity_metrics():
+    from nvse_tpu.metrics import periodicity_metrics
+    t = np.arange(SR) / SR
+    a = np.sin(2 * np.pi * 220.0 * t).astype(np.float32)
+    m = periodicity_metrics(a, a, SR)
+    assert m["periodicity_rmse"] < 1e-9
+    assert m["vuv_f1"] > 0.95
+    assert m["pitch_rmse_cents"] < 1.0
+    b = np.sin(2 * np.pi * 233.0 * t).astype(np.float32)  # ~+100 cents
+    m2 = periodicity_metrics(a, b, SR)
+    assert 60 < m2["pitch_rmse_cents"] < 140
