@@ -40,6 +40,12 @@ def _rotate(path: str, prefix: str, keep: int) -> None:
     )
     for p in cands[:-keep]:
         shutil.rmtree(p, ignore_errors=True)
+    # manifest file listing kept bundles (reference utils.py:64-79 writes
+    # checkpoint_g / checkpoint_d manifests during rotation)
+    manifest = os.path.join(path, "checkpoint_g" if prefix == "g_" else "checkpoint_d")
+    with open(manifest, "w") as f:
+        for p in cands[-keep:]:
+            f.write(os.path.basename(p) + "\n")
 
 
 def save_checkpoint(path: str, step: int, epoch: int, gen_state, disc_state,
