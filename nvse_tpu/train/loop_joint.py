@@ -70,6 +70,34 @@ def train_joint(h, log_fn=print) -> None:
     except Exception:
         sw = None
 
+    val_ds = JointDataset(
+        val_files, val_noise, tuple(h.snr_range), h.segment_size,
+        h.sampling_rate, batch_size=1, task_dict=h.task_dict,
+        shuffle=False, seed=h.seed,
+    ) if val_files else None
+
+    def validate(step: int) -> None:
+        if val_ds is None:
+            return
+        for task in ("denoise", "vocoder"):
+            agg: dict[str, float] = {}
+            count = 0
+            for i in range(min(len(val_ds.speech_files), 8)):
+                val_ds.task_dict = [task]
+                noisy, clean, _ = val_ds.get_batch(i)
+                _, metrics = step_fns[task].eval_step(
+                    gen_state, jnp.asarray(clean), jnp.asarray(noisy)
+                )
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+                count += 1
+            if count:
+                for k, v in agg.items():
+                    if sw is not None:
+                        sw.add_scalar(f"validation/{task}/{k}", v / count, step)
+                log_fn(f"step {step} val[{task}]: " +
+                       " ".join(f"{k}={v / count:.4f}" for k, v in sorted(agg.items())))
+
     for epoch in range(max(0, last_epoch), h.training_epochs):
         t0 = time.time()
         for noisy, clean, task in ds:
@@ -92,6 +120,8 @@ def train_joint(h, log_fn=print) -> None:
             if sw is not None and steps % h.summary_interval == 0:
                 for k, v in metrics.items():
                     sw.add_scalar(f"training/{task}/{k}", float(v), steps)
+            if steps % h.validation_interval == 0:
+                validate(steps)
 
             steps += 1
             if steps > h.training_steps:

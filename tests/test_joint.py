@@ -94,3 +94,42 @@ def test_joint_train_step(task):
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, v)
     assert float(metrics["G"]) > 0 and float(metrics["D"]) > 0
+
+
+def test_joint_train_loop_e2e(tmp_path, joint_files):
+    """Tiny end-to-end joint training run with checkpointing + validation."""
+    from nvse_tpu.train.loop_joint import train_joint
+    from nvse_tpu.train.checkpoint import scan_checkpoint
+
+    speech, noise = joint_files
+    # filelist in the joint format: '<name-without-ext>|...' resolved
+    # against raw_wavfile_path via glob
+    import os
+    wav_dir = os.path.dirname(speech[0])
+    tr_list = tmp_path / "tr.txt"
+    va_list = tmp_path / "va.txt"
+    tr_list.write_text("".join(os.path.splitext(os.path.basename(p))[0] + "|x\n" for p in speech[:2]))
+    va_list.write_text(os.path.splitext(os.path.basename(speech[2]))[0] + "|x\n")
+    noise_list = tmp_path / "noise.txt"
+    noise_list.write_text("".join(p + "\n" for p in (noise + noise)))
+
+    h = AttrDict(dict(
+        model_name="BSRNN_24k", feature_dim=8, num_repeat=1, dropout=0.0,
+        causal=False, sampling_rate=24000, n_fft=1024, hop_size=256,
+        win_size=1024, num_mels=100, fmin=0, fmax=12000, meloss=None,
+        segment_size=2048, batch_size=2, learning_rate=2e-4,
+        adam_b1=0.8, adam_b2=0.99, lr_decay=0.999, seed=1,
+        training_steps=1, training_epochs=5, stdout_interval=1,
+        checkpoint_interval=1, summary_interval=1, validation_interval=1000,
+        max_to_keep=2, mrd_weight=0.1, mpd_reshapes=[2, 3, 5, 7, 11],
+        snr_range=[-5, 15], task_dict=["denoise", "vocoder"],
+        input_training_wav_list=str(tr_list),
+        input_validation_wav_list=str(va_list),
+        raw_wavfile_path=wav_dir,
+        input_noise_wav_list=str(noise_list),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    ))
+    logs = []
+    train_joint(h, log_fn=logs.append)
+    assert scan_checkpoint(h.checkpoint_path, "g_") is not None
+    assert any("training finished" in l for l in logs)
