@@ -59,11 +59,19 @@ class InferenceEngine:
     def _fn(self, T: int):
         if T not in self._fns:
             gen = self.generator
+            # compute_dtype="bfloat16" runs the trunk in bf16 (worth
+            # ~1.3-1.4x on the conv/matmul models; no effect on the
+            # latency-bound LSTM models); output is cast back to f32
+            dtype = jnp.bfloat16 if str(self.h.get("compute_dtype")) == "bfloat16" else None
 
             @jax.jit
             def run(params, mel):
+                if dtype is not None:
+                    params = jax.tree.map(lambda x: x.astype(dtype), params)
+                    mel = mel.astype(dtype)
                 out = gen.apply({"params": params}, mel)
-                return out[-1] if isinstance(out, tuple) else out
+                out = out[-1] if isinstance(out, tuple) else out
+                return out.astype(jnp.float32)
 
             self._fns[T] = run
         return self._fns[T]

@@ -59,3 +59,13 @@ def test_run_inference_writes_wavs_and_rtf(wavs, tmp_path):
     assert outs == ["u0.wav", "u1.wav"]
     y = load_wav(os.path.join(h.test_output_dir, "u0.wav"), 22050)
     assert len(y) == 5000
+
+
+def test_engine_bf16_mode(wavs, tmp_path):
+    h = _h(tmp_path, wavs)
+    h.compute_dtype = "bfloat16"
+    engine = InferenceEngine(h, bucket_frames=32)
+    mel = engine.mel_of(load_wav(os.path.join(wavs, "u0.wav"), 22050))
+    wav = engine.synthesize_mel(mel, out_len=5000)
+    assert wav.dtype == np.float32
+    assert np.isfinite(wav).all()
