@@ -21,6 +21,7 @@ from .gcrn import GCRN
 from .hddemucas import HDDemucas
 from .hifigan import HiFiGAN
 from .istftnet import ISTFTNet
+from .vocos import Vocos
 
 # name -> (factory, domain); names match the reference cfgs' model_name
 _REGISTRY: dict = {
@@ -34,6 +35,7 @@ _REGISTRY: dict = {
     "GCRN": (GCRN, "tf"),
     "ConvTasNet": (ConvTasNet, "time"),
     "HDDemucas": (HDDemucas, "time"),
+    "Vocos": (Vocos, "tf"),
 }
 
 

@@ -140,3 +140,16 @@ def test_cqt_discriminator_shapes():
     rs, gs, fr, fg = d.apply(params, y, y)
     assert len(rs) == 1 and len(fr[0]) == 5
     assert np.isfinite(np.asarray(rs[0])).all()
+
+
+def test_vocos():
+    h = _h(model_name="Vocos")
+    model, domain = build_generator(h)
+    assert domain == "tf"
+    mel = _mel()
+    params = model.init(jax.random.PRNGKey(0), mel)
+    outs = model.apply(params, mel)
+    _check_tf_outputs(outs, 1, 9)
+    n = _count(params)
+    # published Vocos: ~13.5M params (BASELINE.md table)
+    assert abs(n - 13.5e6) / 13.5e6 < 0.05, n
