@@ -376,19 +376,20 @@ class LSTM(nn.Module):
         def uinit(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
+        # note: a fused two-direction kernel (ops.pallas_lstm.lstm_scan_bidir)
+        # was measured SLOWER on v5e (its block-diagonal matmul doubles
+        # per-step FLOPs, which outweighs the halved step count), so the
+        # directions run as two independent scans
+        from ..ops.pallas_lstm import lstm_scan
+
         def run_direction(x, name):
             w_ih = self.param(f"w_ih_{name}", uinit, (self.input_size, 4 * H))
             w_hh = self.param(f"w_hh_{name}", uinit, (H, 4 * H))
             b = self.param(f"b_ih_{name}", uinit, (4 * H,)) + self.param(
                 f"b_hh_{name}", uinit, (4 * H,)
             )
-            xg = x @ w_ih + b                    # (B, T, 4H) — one big matmul
-            xg = jnp.swapaxes(xg, 0, 1)          # time-major (T, B, 4H)
-            # fused recurrence: Pallas kernel on TPU, lax.scan on CPU
-            from ..ops.pallas_lstm import lstm_scan
-
-            hs = lstm_scan(xg, w_hh)
-            return jnp.swapaxes(hs, 0, 1)        # (B, T, H)
+            xg = jnp.swapaxes(x @ w_ih + b, 0, 1)  # time-major (T, B, 4H)
+            return jnp.swapaxes(lstm_scan(xg, w_hh), 0, 1)
 
         fwd = run_direction(x, "fwd")
         if not self.bidirectional:

@@ -131,3 +131,118 @@ def _bwd(res, g):
 
 
 lstm_scan.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused bidirectional scan: both directions share each sequential grid
+# step (halves the kernel's sequential step count — the flagship BSRNN
+# is latency-bound on exactly these steps)
+# ---------------------------------------------------------------------------
+
+def _xla_lstm_scan_bidir(xp_cat, w_stack):
+    """Reference semantics of the fused kernel on (T, 2B, 4H).
+
+    Rows [0:B] use w_stack[:H] (forward), rows [B:2B] use w_stack[H:]
+    (the backward direction, whose inputs/outputs are time-flipped by
+    the caller).
+    """
+    B2 = xp_cat.shape[1]
+    B = B2 // 2
+    H = w_stack.shape[1] // 4
+    hs_f = _xla_lstm_scan(xp_cat[:, :B], w_stack[:H])
+    hs_b = _xla_lstm_scan(xp_cat[:, B:], w_stack[H:])
+    return jnp.concatenate([hs_f, hs_b], axis=1)
+
+
+def _make_bidir_kernel(nrows_fwd: int, Bt: int):
+    """Kernel closure: nrows_fwd is static at trace time.
+
+    grid (nb, T), T innermost. Rows with global index < nrows_fwd are
+    forward-direction; the blockdiag trick routes each row through its
+    direction's W_hh in ONE matmul: hcat = [h*m | h*(1-m)] (Bt, 2H),
+    gates = x + hcat @ [W_f; W_b].
+    """
+
+    def kernel(xp_ref, wstack_ref, out_ref, h_scratch, c_scratch):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            h_scratch[...] = jnp.zeros_like(h_scratch)
+            c_scratch[...] = jnp.zeros_like(c_scratch)
+
+        h = h_scratch[...]
+        H = h.shape[1]
+        rows = b * Bt + jax.lax.broadcasted_iota(jnp.int32, (Bt, 1), 0)
+        m = (rows < nrows_fwd).astype(h.dtype)
+        hcat = jnp.concatenate([h * m, h * (1.0 - m)], axis=1)
+        gates = xp_ref[0] + jnp.dot(hcat, wstack_ref[...],
+                                    preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c = f * c_scratch[...] + i * g
+        h = o * jnp.tanh(c)
+        c_scratch[...] = c
+        h_scratch[...] = h
+        out_ref[0] = h
+
+    return kernel
+
+
+_MAX_BIDIR_TILE = 1152  # 2x544 rows (BSRNN-M B=16) still one tile
+
+
+def _pallas_lstm_scan_bidir(xp_cat, w_stack, nrows_fwd: int,
+                            interpret: bool = False):
+    T, B2, G = xp_cat.shape
+    H = w_stack.shape[1] // 4
+    Bt = min(_MAX_BIDIR_TILE, (B2 + 7) // 8 * 8)
+    nb = -(-B2 // Bt)
+    B_pad = nb * Bt
+    if B_pad != B2:
+        xp_cat = jnp.pad(xp_cat, ((0, 0), (0, B_pad - B2), (0, 0)))
+    out = pl.pallas_call(
+        _make_bidir_kernel(nrows_fwd, Bt),
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, Bt, G), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((2 * H, G), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, B_pad, H), xp_cat.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(xp_cat, w_stack)
+    return out[:, :B2, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def lstm_scan_bidir(xp_cat: jnp.ndarray, w_stack: jnp.ndarray) -> jnp.ndarray:
+    """(T, 2B, 4H), (2H, 4H) -> (T, 2B, H) fused two-direction scan.
+
+    Caller stacks forward rows then (time-flipped) backward rows and
+    splits/unflips the result (see layers.LSTM).
+    """
+    B = xp_cat.shape[1] // 2
+    if jax.default_backend() == "cpu" or pltpu is None:
+        return _xla_lstm_scan_bidir(xp_cat, w_stack)
+    return _pallas_lstm_scan_bidir(xp_cat, w_stack, B)
+
+
+def _bidir_fwd(xp_cat, w_stack):
+    return lstm_scan_bidir(xp_cat, w_stack), (xp_cat, w_stack)
+
+
+def _bidir_bwd(res, g):
+    xp_cat, w_stack = res
+    _, vjp = jax.vjp(_xla_lstm_scan_bidir, xp_cat, w_stack)
+    return vjp(g)
+
+
+lstm_scan_bidir.defvjp(_bidir_fwd, _bidir_bwd)

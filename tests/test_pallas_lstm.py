@@ -50,3 +50,34 @@ def test_kernel_batch_tiling_large():
     ref = np.asarray(_xla_lstm_scan(xp, whh))
     got = np.asarray(_pallas_lstm_scan(xp, whh, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bidir_kernel_matches_two_scans_interpret():
+    from nvse_tpu.ops.pallas_lstm import (
+        _pallas_lstm_scan_bidir,
+        _xla_lstm_scan_bidir,
+    )
+    rng = np.random.default_rng(2)
+    T, B, H = 21, 20, 16
+    xp = jnp.asarray(rng.standard_normal((T, 2 * B, 4 * H)).astype(np.float32) * 0.4)
+    ws = jnp.asarray(rng.standard_normal((2 * H, 4 * H)).astype(np.float32) * 0.1)
+    ref = np.asarray(_xla_lstm_scan_bidir(xp, ws))
+    got = np.asarray(_pallas_lstm_scan_bidir(xp, ws, B, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bidir_kernel_multi_tile_interpret():
+    # 2B > tile forces multiple tiles; boundary rows must route to the
+    # right direction's weights
+    from nvse_tpu.ops.pallas_lstm import (
+        _MAX_BIDIR_TILE,
+        _pallas_lstm_scan_bidir,
+        _xla_lstm_scan_bidir,
+    )
+    rng = np.random.default_rng(3)
+    T, B, H = 4, _MAX_BIDIR_TILE // 2 + 40, 8   # straddles the tile boundary
+    xp = jnp.asarray(rng.standard_normal((T, 2 * B, 4 * H)).astype(np.float32) * 0.3)
+    ws = jnp.asarray(rng.standard_normal((2 * H, 4 * H)).astype(np.float32) * 0.1)
+    ref = np.asarray(_xla_lstm_scan_bidir(xp, ws))
+    got = np.asarray(_pallas_lstm_scan_bidir(xp, ws, B, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
