@@ -134,6 +134,80 @@ def import_mrf_generator(torch_params: dict[str, np.ndarray], flax_params: Any,
     return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
 
 
+def _put_convnext_block(out_block, torch_params, prefix):
+    """Map one torch ConvNeXtBlock (apnet2.py:27-66) onto ours."""
+    out_block["Conv1d_0"]["kernel"] = convert_conv1d(torch_params[f"{prefix}.dwconv.weight"])
+    out_block["Conv1d_0"]["bias"] = torch_params[f"{prefix}.dwconv.bias"]
+    out_block["LayerNorm_0"]["scale"] = torch_params[f"{prefix}.norm.weight"]
+    out_block["LayerNorm_0"]["bias"] = torch_params[f"{prefix}.norm.bias"]
+    out_block["Linear_0"]["kernel"] = convert_linear(torch_params[f"{prefix}.pwconv1.weight"])
+    out_block["Linear_0"]["bias"] = torch_params[f"{prefix}.pwconv1.bias"]
+    g = torch_params[f"{prefix}.grn.gamma"]
+    b = torch_params[f"{prefix}.grn.beta"]
+    out_block["GRN_0"]["gamma"] = g.reshape(out_block["GRN_0"]["gamma"].shape)
+    out_block["GRN_0"]["beta"] = b.reshape(out_block["GRN_0"]["beta"].shape)
+    out_block["Linear_1"]["kernel"] = convert_linear(torch_params[f"{prefix}.pwconv2.weight"])
+    out_block["Linear_1"]["bias"] = torch_params[f"{prefix}.pwconv2.bias"]
+
+
+def _put_plain_conv1d(node, torch_params, prefix):
+    node["kernel"] = convert_conv1d(torch_params[f"{prefix}.weight"])
+    node["bias"] = torch_params[f"{prefix}.bias"]
+
+
+def _put_ln(node, torch_params, prefix):
+    node["scale"] = torch_params[f"{prefix}.weight"]
+    node["bias"] = torch_params[f"{prefix}.bias"]
+
+
+def import_apnet2(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
+    """Name-mapped import for APNet2 (reference Models/apnet2.py:69-188).
+
+    Call-order flax names: Conv1d_0 (ASP in), LayerNorm_0,
+    ConvNeXtBlock_0..7, LayerNorm_1, Conv1d_1 (ASP out), Conv1d_2
+    (PSP in), LayerNorm_2, ConvNeXtBlock_8..15, LayerNorm_3,
+    Conv1d_3/4 (R/I heads).
+    """
+    import jax
+
+    out = jax.tree.map(lambda x: np.array(x), flax_params)
+    n = 8
+    _put_plain_conv1d(out["Conv1d_0"], torch_params, "ASP_input_conv")
+    _put_ln(out["LayerNorm_0"], torch_params, "norm2")
+    for i in range(n):
+        _put_convnext_block(out[f"ConvNeXtBlock_{i}"], torch_params, f"convnext2.{i}")
+    _put_ln(out["LayerNorm_1"], torch_params, "final_layer_norm2")
+    _put_plain_conv1d(out["Conv1d_1"], torch_params, "ASP_output_conv")
+    _put_plain_conv1d(out["Conv1d_2"], torch_params, "PSP_input_conv")
+    _put_ln(out["LayerNorm_2"], torch_params, "norm")
+    for i in range(n):
+        _put_convnext_block(out[f"ConvNeXtBlock_{n + i}"], torch_params, f"convnext.{i}")
+    _put_ln(out["LayerNorm_3"], torch_params, "final_layer_norm")
+    _put_plain_conv1d(out["Conv1d_3"], torch_params, "PSP_output_R_conv")
+    _put_plain_conv1d(out["Conv1d_4"], torch_params, "PSP_output_I_conv")
+    return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
+
+
+def import_freev(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
+    """Name-mapped import for FreeV (reference Models/freeV.py:69-187).
+
+    Flax call order: ConvNeXtBlock_0 (ASP, dim 513), Conv1d_0 (PSP in),
+    LayerNorm_0, ConvNeXtBlock_1..8 (PSP), LayerNorm_1, Conv1d_1/2 (R/I).
+    """
+    import jax
+
+    out = jax.tree.map(lambda x: np.array(x), flax_params)
+    _put_convnext_block(out["ConvNeXtBlock_0"], torch_params, "convnext2.0")
+    _put_plain_conv1d(out["Conv1d_0"], torch_params, "PSP_input_conv")
+    _put_ln(out["LayerNorm_0"], torch_params, "norm")
+    for i in range(8):
+        _put_convnext_block(out[f"ConvNeXtBlock_{1 + i}"], torch_params, f"convnext.{i}")
+    _put_ln(out["LayerNorm_1"], torch_params, "final_layer_norm")
+    _put_plain_conv1d(out["Conv1d_1"], torch_params, "PSP_output_R_conv")
+    _put_plain_conv1d(out["Conv1d_2"], torch_params, "PSP_output_I_conv")
+    return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
+
+
 def import_bsrnn(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
     """Name-mapped import for BSRNN / BSRNN_24k.
 

@@ -155,3 +155,94 @@ def test_import_bsrnn_structural():
         band += n
     outs = gen.apply({"params": params}, jnp.zeros((1, 80, 9)) - 4.0)
     assert np.isfinite(np.asarray(outs[0])).all()
+
+
+class TorchGRN(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.gamma = nn.Parameter(torch.zeros(1, 1, dim))
+        self.beta = nn.Parameter(torch.zeros(1, 1, dim))
+
+    def forward(self, x):
+        gx = torch.norm(x, p=2, dim=1, keepdim=True)
+        nx = gx / (gx.mean(dim=-1, keepdim=True) + 1e-6)
+        return self.gamma * (x * nx) + self.beta + x
+
+
+class TorchConvNeXtBlock(nn.Module):
+    """Independent torch ConvNeXt-v2 block (public architecture) used as
+    the parity oracle for the APNet2/FreeV importer."""
+
+    def __init__(self, dim, mid):
+        super().__init__()
+        self.dwconv = nn.Conv1d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.pwconv1 = nn.Linear(dim, mid)
+        self.grn = TorchGRN(mid)
+        self.pwconv2 = nn.Linear(mid, dim)
+
+    def forward(self, x):
+        r = x
+        x = self.dwconv(x).transpose(1, 2)
+        x = self.pwconv2(self.grn(F.gelu(self.pwconv1(self.norm(x)))))
+        return r + x.transpose(1, 2)
+
+
+def test_convnext_block_import_parity():
+    torch.manual_seed(1)
+    dim, mid = 16, 48
+    tb = TorchConvNeXtBlock(dim, mid).eval()
+    with torch.no_grad():
+        for p in tb.parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+    sd = {f"blk.{k}": v.detach().numpy() for k, v in tb.state_dict().items()}
+
+    from nvse_tpu.models.apnet import ConvNeXtBlock
+    from nvse_tpu.utils.torch_import import _put_convnext_block
+
+    blk = ConvNeXtBlock(dim, mid)
+    x_np = np.random.default_rng(0).standard_normal((2, 20, dim)).astype(np.float32)
+    variables = blk.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+    params = jax.tree.map(lambda a: np.array(a), variables["params"])
+    _put_convnext_block(params, sd, "blk")
+    ours = np.asarray(blk.apply({"params": params}, jnp.asarray(x_np)))
+    with torch.no_grad():
+        theirs = tb(torch.from_numpy(x_np).permute(0, 2, 1)).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_import_apnet2_structural_names():
+    """The flax tree has exactly the names import_apnet2 writes to."""
+    h = AttrDict(dict(
+        model_name="APNet2", num_mels=80, n_fft=1024, hop_size=256,
+        win_size=1024, sampling_rate=22050, fmin=0, fmax=8000,
+        ASP_channel=512, ASP_input_conv_kernel_size=7,
+        ASP_output_conv_kernel_size=7, PSP_channel=512,
+        PSP_input_conv_kernel_size=7, PSP_output_R_conv_kernel_size=7,
+        PSP_output_I_conv_kernel_size=7,
+    ))
+    gen, _ = build_generator(h)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 9)))
+    keys = set(variables["params"].keys())
+    expect = ({f"Conv1d_{i}" for i in range(5)}
+              | {f"ConvNeXtBlock_{i}" for i in range(16)}
+              | {f"LayerNorm_{i}" for i in range(4)})
+    assert keys == expect, keys ^ expect
+    blk = variables["params"]["ConvNeXtBlock_0"]
+    assert set(blk.keys()) == {"Conv1d_0", "LayerNorm_0", "Linear_0", "GRN_0", "Linear_1"}
+
+
+def test_import_freev_structural_names():
+    h = AttrDict(dict(
+        model_name="FreeV", num_mels=80, n_fft=1024, hop_size=256,
+        win_size=1024, sampling_rate=22050, fmin=0, fmax=8000,
+        ASP_channel=513, PSP_channel=512, PSP_input_conv_kernel_size=7,
+        PSP_output_R_conv_kernel_size=7, PSP_output_I_conv_kernel_size=7,
+    ))
+    gen, _ = build_generator(h)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 9)) - 4.0)
+    keys = set(variables["params"].keys())
+    expect = ({f"Conv1d_{i}" for i in range(3)}
+              | {f"ConvNeXtBlock_{i}" for i in range(9)}
+              | {f"LayerNorm_{i}" for i in range(2)})
+    assert keys == expect, keys ^ expect
