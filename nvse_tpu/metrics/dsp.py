@@ -156,7 +156,9 @@ def _mel_cepstra(x: np.ndarray, sr: int, n_mfc: int = 13) -> np.ndarray:
     win = np.hanning(n_fft + 1)[:-1]
     mag = _stft_mag(x, n_fft, hop, win)
     fb = _mel_filterbank_np(sr, n_fft, 40, 0.0, sr / 2.0)
-    logmel = np.log10(np.maximum(mag @ fb.T, 1e-8))
+    # floor at -50 dB: harmonically sparse signals otherwise blow up
+    # the cepstral distance through near-zero bands
+    logmel = np.log10(np.maximum(mag @ fb.T, 1e-5))
     return dct(logmel, type=2, axis=1, norm="ortho")[:, 1 : n_mfc + 1]
 
 
