@@ -28,3 +28,22 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: first TPU compiles through the
+# remote tunnel take minutes; cached reruns are instant. Opt out with
+# NVSE_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("NVSE_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache = _os.environ.get(
+            "NVSE_COMPILE_CACHE",
+            _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                          ".jax_cache"),
+        )
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # jax missing/unconfigurable: fine, cache is an optimisation
+        pass
