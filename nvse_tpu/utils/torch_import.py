@@ -134,6 +134,89 @@ def import_mrf_generator(torch_params: dict[str, np.ndarray], flax_params: Any,
     return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
 
 
+def _put_wn_conv1d(node, torch_params, prefix, transpose=False):
+    conv = convert_convtranspose1d if transpose else convert_conv1d
+    node["v"] = conv(torch_params[f"{prefix}.weight_v"])
+    node["g"] = torch_params[f"{prefix}.weight_g"].reshape(node["g"].shape)
+    node["bias"] = torch_params[f"{prefix}.bias"]
+
+
+def import_apnet(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
+    """Name-mapped import for APNet (reference Models/apnet.py:90-157).
+
+    Flax call order: branch ASP — Conv1d_0 (in), ResBlock1_0..2
+    (ASPResBlocks, each convs1/convs2 interleaved as Conv1d_{2j}/{2j+1}),
+    Conv1d_1 (out); branch PSP — Conv1d_2 (in), ResBlock1_3..5,
+    Conv1d_3/4 (R/I). All weight-normed.
+    """
+    import jax
+
+    out = jax.tree.map(lambda x: np.array(x), flax_params)
+    nk = len(h.ASP_resblock_kernel_sizes)
+
+    _put_wn_conv1d(out["Conv1d_0"], torch_params, "ASP_input_conv")
+    for k in range(nk):
+        blk = out[f"ResBlock1_{k}"]
+        n_d = len(h.ASP_resblock_dilation_sizes[k])
+        for j in range(n_d):
+            _put_wn_conv1d(blk[f"Conv1d_{2 * j}"], torch_params, f"ASP_ResNet.{k}.convs1.{j}")
+            _put_wn_conv1d(blk[f"Conv1d_{2 * j + 1}"], torch_params, f"ASP_ResNet.{k}.convs2.{j}")
+    _put_wn_conv1d(out["Conv1d_1"], torch_params, "ASP_output_conv")
+
+    _put_wn_conv1d(out["Conv1d_2"], torch_params, "PSP_input_conv")
+    for k in range(nk):
+        blk = out[f"ResBlock1_{nk + k}"]
+        n_d = len(h.PSP_resblock_dilation_sizes[k])
+        for j in range(n_d):
+            _put_wn_conv1d(blk[f"Conv1d_{2 * j}"], torch_params, f"PSP_ResNet.{k}.convs1.{j}")
+            _put_wn_conv1d(blk[f"Conv1d_{2 * j + 1}"], torch_params, f"PSP_ResNet.{k}.convs2.{j}")
+    _put_wn_conv1d(out["Conv1d_3"], torch_params, "PSP_output_R_conv")
+    _put_wn_conv1d(out["Conv1d_4"], torch_params, "PSP_output_I_conv")
+    return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
+
+
+def import_convtasnet(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
+    """Name-mapped import for ConvTasNet (reference Models/convtasnet.py:170-328).
+
+    Flax call order: Conv1d_0 (encoder), GlobalLayerNorm_0, Conv1d_1
+    (bottleneck), Conv1DBlock_0..R*X-1 (each: Conv1d_0 1x1, PReLU_0,
+    GlobalLayerNorm_0, Conv1d_1 dwconv, PReLU_1, GlobalLayerNorm_1,
+    Conv1d_2 res [, Conv1d_3 skip]), Conv1d_2 (mask head),
+    ConvTranspose1d_0 (decoder).
+    """
+    import jax
+
+    out = jax.tree.map(lambda x: np.array(x), flax_params)
+
+    def plain(node, prefix):
+        node["kernel"] = convert_conv1d(torch_params[f"{prefix}.weight"])
+        node["bias"] = torch_params[f"{prefix}.bias"]
+
+    def gln(node, prefix):
+        node["weight"] = torch_params[f"{prefix}.weight"].reshape(node["weight"].shape)
+        node["bias"] = torch_params[f"{prefix}.bias"].reshape(node["bias"].shape)
+
+    plain(out["Conv1d_0"], "encoder")
+    gln(out["GlobalLayerNorm_0"], "LayerN_S")
+    plain(out["Conv1d_1"], "BottleN_S")
+    for i in range(h.R * h.X):
+        blk = out[f"Conv1DBlock_{i}"]
+        pre = f"separation.{i}"
+        plain(blk["Conv1d_0"], f"{pre}.conv1x1")
+        blk["PReLU_0"]["alpha"] = torch_params[f"{pre}.PReLU_1.weight"].reshape(())
+        gln(blk["GlobalLayerNorm_0"], f"{pre}.norm_1")
+        plain(blk["Conv1d_1"], f"{pre}.dwconv")
+        blk["PReLU_1"]["alpha"] = torch_params[f"{pre}.PReLU_2.weight"].reshape(())
+        gln(blk["GlobalLayerNorm_1"], f"{pre}.norm_2")
+        plain(blk["Conv1d_2"], f"{pre}.Sc_conv")
+        if h.skip_con:
+            plain(blk["Conv1d_3"], f"{pre}.skip_conv")
+    plain(out["Conv1d_2"], "gen_masks")
+    out["ConvTranspose1d_0"]["kernel"] = convert_convtranspose1d(torch_params["decoder.weight"])
+    out["ConvTranspose1d_0"]["bias"] = torch_params["decoder.bias"]
+    return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
+
+
 def _put_convnext_block(out_block, torch_params, prefix):
     """Map one torch ConvNeXtBlock (apnet2.py:27-66) onto ours."""
     out_block["Conv1d_0"]["kernel"] = convert_conv1d(torch_params[f"{prefix}.dwconv.weight"])

@@ -246,3 +246,87 @@ def test_import_freev_structural_names():
               | {f"ConvNeXtBlock_{i}" for i in range(9)}
               | {f"LayerNorm_{i}" for i in range(2)})
     assert keys == expect, keys ^ expect
+
+
+def test_import_apnet_structural_names():
+    h = AttrDict(dict(
+        model_name="APNet", num_mels=80, n_fft=1024, hop_size=256,
+        win_size=1024, sampling_rate=22050, fmin=0, fmax=8000,
+        ASP_channel=32, ASP_resblock_kernel_sizes=[3, 5],
+        ASP_resblock_dilation_sizes=[[1, 3], [1, 3]],
+        ASP_input_conv_kernel_size=7, ASP_output_conv_kernel_size=7,
+        PSP_channel=32, PSP_resblock_kernel_sizes=[3, 5],
+        PSP_resblock_dilation_sizes=[[1, 3], [1, 3]],
+        PSP_input_conv_kernel_size=7, PSP_output_R_conv_kernel_size=7,
+        PSP_output_I_conv_kernel_size=7,
+    ))
+    gen, _ = build_generator(h)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 9)))
+    keys = set(variables["params"].keys())
+    expect = ({f"Conv1d_{i}" for i in range(5)}
+              | {f"ResBlock1_{i}" for i in range(4)})
+    assert keys == expect, keys ^ expect
+    # synthetic state dict with the reference torch names fills every leaf
+    from nvse_tpu.utils.torch_import import import_apnet
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def wn_conv(prefix, cout, cin, k):
+        sd[f"{prefix}.weight_v"] = rng.standard_normal((cout, cin, k)).astype(np.float32) * 0.1
+        sd[f"{prefix}.weight_g"] = np.ones((cout, 1, 1), np.float32)
+        sd[f"{prefix}.bias"] = np.zeros(cout, np.float32)
+
+    wn_conv("ASP_input_conv", 32, 80, 7)
+    wn_conv("PSP_input_conv", 32, 80, 7)
+    for branch in ("ASP_ResNet", "PSP_ResNet"):
+        for kk, ks in enumerate((3, 5)):
+            for j in range(2):
+                wn_conv(f"{branch}.{kk}.convs1.{j}", 32, 32, ks)
+                wn_conv(f"{branch}.{kk}.convs2.{j}", 32, 32, ks)
+    wn_conv("ASP_output_conv", 513, 32, 7)
+    wn_conv("PSP_output_R_conv", 513, 32, 7)
+    wn_conv("PSP_output_I_conv", 513, 32, 7)
+    params = import_apnet(sd, variables["params"], h)
+    outs = gen.apply({"params": params}, jnp.zeros((1, 80, 9)) - 4.0)
+    assert np.isfinite(np.asarray(outs[-1])).all()
+
+
+def test_import_convtasnet_structural():
+    h = AttrDict(dict(
+        model_name="ConvTasNet", num_mels=80, n_fft=1024, hop_size=256,
+        win_size=1024, sampling_rate=22050, fmin=0, fmax=8000,
+        N=16, L=16, B=8, H=16, P=3, X=2, R=1, norm="gln", num_spks=1,
+        activate="relu", causal=False, skip_con=True, init_phase="zero",
+    ))
+    gen, _ = build_generator(h)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 9)))
+    from nvse_tpu.utils.torch_import import import_convtasnet
+    rng = np.random.default_rng(1)
+    sd = {}
+
+    def conv(prefix, cout, cin, k):
+        sd[f"{prefix}.weight"] = rng.standard_normal((cout, cin, k)).astype(np.float32) * 0.1
+        sd[f"{prefix}.bias"] = np.zeros(cout, np.float32)
+
+    conv("encoder", 16, 1, 16)
+    sd["LayerN_S.weight"] = np.ones((16, 1), np.float32)
+    sd["LayerN_S.bias"] = np.zeros((16, 1), np.float32)
+    conv("BottleN_S", 8, 16, 1)
+    for i in range(2):
+        pre = f"separation.{i}"
+        conv(f"{pre}.conv1x1", 16, 8, 1)
+        sd[f"{pre}.PReLU_1.weight"] = np.full(1, 0.25, np.float32)
+        sd[f"{pre}.norm_1.weight"] = np.ones((16, 1), np.float32)
+        sd[f"{pre}.norm_1.bias"] = np.zeros((16, 1), np.float32)
+        conv(f"{pre}.dwconv", 16, 1, 3)  # groups=16 -> in/groups = 1
+        sd[f"{pre}.PReLU_2.weight"] = np.full(1, 0.25, np.float32)
+        sd[f"{pre}.norm_2.weight"] = np.ones((16, 1), np.float32)
+        sd[f"{pre}.norm_2.bias"] = np.zeros((16, 1), np.float32)
+        conv(f"{pre}.Sc_conv", 8, 16, 1)
+        conv(f"{pre}.skip_conv", 8, 16, 1)
+    conv("gen_masks", 16, 8, 1)
+    sd["decoder.weight"] = rng.standard_normal((16, 1, 16)).astype(np.float32) * 0.1
+    sd["decoder.bias"] = np.zeros(1, np.float32)
+    params = import_convtasnet(sd, variables["params"], h)
+    wav = gen.apply({"params": params}, jnp.zeros((1, 80, 9)) - 4.0)
+    assert np.isfinite(np.asarray(wav)).all()
