@@ -291,6 +291,120 @@ def import_freev(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> An
     return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
 
 
+def import_gcrn(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
+    """Name-mapped import for GCRN (reference Models/gcrn.py:86-220).
+
+    Flax names: GluConv2d_0..5 (conv1/conv2 -> Conv2d_0/1), per-branch
+    GluConvTranspose2d (branch 1 = decoder indices 0..5, branch 2 =
+    6..11; torch names conv{6..1}_t_{1,2}), freq LayerNorms named
+    bn1..bn6 / bn{k}_t_{1,2}, GLSTM_0 (lstm_list1/2 -> LSTM_0..3 +
+    LayerNorm_0/1), Linear_0/1 (fc1/fc2).
+    """
+    import jax
+
+    out = jax.tree.map(lambda x: np.array(x), flax_params)
+
+    def conv2d(node, prefix):
+        node["kernel"] = convert_conv2d(torch_params[f"{prefix}.weight"])
+        node["bias"] = torch_params[f"{prefix}.bias"]
+
+    def convt2d(node, prefix):
+        node["kernel"] = convert_convtranspose2d(torch_params[f"{prefix}.weight"])
+        node["bias"] = torch_params[f"{prefix}.bias"]
+
+    def ln_freq(node, prefix):
+        node["scale"] = torch_params[f"{prefix}.weight"].reshape(node["scale"].shape)
+        node["bias"] = torch_params[f"{prefix}.bias"].reshape(node["bias"].shape)
+
+    def lstm(node, prefix):
+        node["w_ih_fwd"] = convert_linear(torch_params[f"{prefix}.weight_ih_l0"])
+        node["w_hh_fwd"] = convert_linear(torch_params[f"{prefix}.weight_hh_l0"])
+        node["b_ih_fwd"] = torch_params[f"{prefix}.bias_ih_l0"]
+        node["b_hh_fwd"] = torch_params[f"{prefix}.bias_hh_l0"]
+
+    for i in range(6):
+        conv2d(out[f"GluConv2d_{i}"]["Conv2d_0"], f"conv{i + 1}.conv1")
+        conv2d(out[f"GluConv2d_{i}"]["Conv2d_1"], f"conv{i + 1}.conv2")
+        ln_freq(out[f"bn{i + 1}"], f"bn{i + 1}")
+    gl = out["GLSTM_0"]
+    for g in range(2):
+        lstm(gl[f"LSTM_{g}"], f"glstm.lstm_list1.{g}")
+        lstm(gl[f"LSTM_{2 + g}"], f"glstm.lstm_list2.{g}")
+    gl["LayerNorm_0"]["scale"] = torch_params["glstm.ln1.weight"]
+    gl["LayerNorm_0"]["bias"] = torch_params["glstm.ln1.bias"]
+    gl["LayerNorm_1"]["scale"] = torch_params["glstm.ln2.weight"]
+    gl["LayerNorm_1"]["bias"] = torch_params["glstm.ln2.bias"]
+    for branch in (1, 2):
+        for step in range(6):
+            k = 6 - step  # torch conv{k}_t / bn{k}_t, k = 6..1 (coarse->fine)
+            idx = (branch - 1) * 6 + step
+            blk = out[f"GluConvTranspose2d_{idx}"]
+            convt2d(blk["ConvTranspose2d_0"], f"conv{k}_t_{branch}.conv1")
+            convt2d(blk["ConvTranspose2d_1"], f"conv{k}_t_{branch}.conv2")
+            ln_freq(out[f"bn{k}_t_{branch}"], f"bn{k}_t_{branch}")
+    out["Linear_0"]["kernel"] = convert_linear(torch_params["fc1.weight"])
+    out["Linear_0"]["bias"] = torch_params["fc1.bias"]
+    out["Linear_1"]["kernel"] = convert_linear(torch_params["fc2.weight"])
+    out["Linear_1"]["bias"] = torch_params["fc2.bias"]
+    return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
+
+
+def import_hddemucas(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
+    """Name-mapped import for HD-Demucs (reference Models/hddemucas.py:127-370).
+
+    Flax call order: encoder Conv1d_{2i}/{2i+1} (strided + 1x1 GLU) for
+    i in 0..depth-1; BLSTM_0 (LSTM_0/1 + Linear_0); mask decoder
+    Conv1d_{2d+...}/ConvTranspose1d_0..4; map decoder likewise; fusion
+    Conv1d x3; scalar 'weight'.
+    """
+    import jax
+
+    out = jax.tree.map(lambda x: np.array(x), flax_params)
+    depth = h.depth
+
+    def plain1d(node, prefix):
+        node["kernel"] = convert_conv1d(torch_params[f"{prefix}.weight"])
+        node["bias"] = torch_params[f"{prefix}.bias"]
+
+    def trans1d(node, prefix):
+        node["kernel"] = convert_convtranspose1d(torch_params[f"{prefix}.weight"])
+        node["bias"] = torch_params[f"{prefix}.bias"]
+
+    # encoder: torch encoder.{i}.0 (strided) and .2 (1x1)
+    for i in range(depth):
+        plain1d(out[f"Conv1d_{2 * i}"], f"encoder.{i}.0")
+        plain1d(out[f"Conv1d_{2 * i + 1}"], f"encoder.{i}.2")
+
+    bl = out["BLSTM_0"]
+    for layer, node in ((0, bl["LSTM_0"]), (1, bl["LSTM_1"])):
+        node["w_ih_fwd"] = convert_linear(torch_params[f"lstm.lstm.weight_ih_l{layer}"])
+        node["w_hh_fwd"] = convert_linear(torch_params[f"lstm.lstm.weight_hh_l{layer}"])
+        node["b_ih_fwd"] = torch_params[f"lstm.lstm.bias_ih_l{layer}"]
+        node["b_hh_fwd"] = torch_params[f"lstm.lstm.bias_hh_l{layer}"]
+        node["w_ih_bwd"] = convert_linear(torch_params[f"lstm.lstm.weight_ih_l{layer}_reverse"])
+        node["w_hh_bwd"] = convert_linear(torch_params[f"lstm.lstm.weight_hh_l{layer}_reverse"])
+        node["b_ih_bwd"] = torch_params[f"lstm.lstm.bias_ih_l{layer}_reverse"]
+        node["b_hh_bwd"] = torch_params[f"lstm.lstm.bias_hh_l{layer}_reverse"]
+    bl["Linear_0"]["kernel"] = convert_linear(torch_params["lstm.linear.weight"])
+    bl["Linear_0"]["bias"] = torch_params["lstm.linear.bias"]
+
+    # decoders: our call order is coarse->fine step s = depth-1-idx;
+    # torch decoder lists are [idx depth-1 ... idx 0] so list position ==
+    # our step. Mask decoder 1x1 convs are Conv1d_{2*depth + s},
+    # transposed ConvTranspose1d_{s}; map decoder continues after.
+    for s in range(depth):
+        plain1d(out[f"Conv1d_{2 * depth + s}"], f"decoder_mask.{s}.0")
+        trans1d(out[f"ConvTranspose1d_{s}"], f"decoder_mask.{s}.2")
+    for s in range(depth):
+        plain1d(out[f"Conv1d_{3 * depth + s}"], f"decoder_map.{s}.0")
+        trans1d(out[f"ConvTranspose1d_{depth + s}"], f"decoder_map.{s}.2")
+
+    for j in range(3):
+        plain1d(out[f"Conv1d_{4 * depth + j}"], f"fb_conv{j + 1}.0")
+    out["weight"] = torch_params["weight"].reshape(out["weight"].shape)
+    return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
+
+
 def import_bsrnn(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
     """Name-mapped import for BSRNN / BSRNN_24k.
 

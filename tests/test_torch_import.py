@@ -330,3 +330,105 @@ def test_import_convtasnet_structural():
     params = import_convtasnet(sd, variables["params"], h)
     wav = gen.apply({"params": params}, jnp.zeros((1, 80, 9)) - 4.0)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_import_gcrn_structural():
+    from nvse_tpu.utils.torch_import import import_gcrn
+
+    h = AttrDict(dict(model_name="GCRN", sampling_rate=22050, n_fft=1024,
+                      hop_size=256, win_size=1024, num_mels=80, fmin=0, fmax=8000))
+    gen, _ = build_generator(h)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 5)))
+    rng = np.random.default_rng(0)
+    sd = {}
+    enc = [(1, 16, 5), (16, 32, 3), (32, 64, 3), (64, 128, 3), (128, 128, 3), (128, 128, 3)]
+    freqs = [255, 127, 63, 31, 15, 7]
+    for i, (ci, co, k) in enumerate(enc):
+        for c in ("conv1", "conv2"):
+            sd[f"conv{i+1}.{c}.weight"] = rng.standard_normal((co, ci, 1, k)).astype(np.float32) * 0.05
+            sd[f"conv{i+1}.{c}.bias"] = np.zeros(co, np.float32)
+        sd[f"bn{i+1}.weight"] = np.ones(freqs[i], np.float32)
+        sd[f"bn{i+1}.bias"] = np.zeros(freqs[i], np.float32)
+    for l in ("lstm_list1", "lstm_list2"):
+        for g in range(2):
+            sd[f"glstm.{l}.{g}.weight_ih_l0"] = rng.standard_normal((4*448, 448)).astype(np.float32)*0.02
+            sd[f"glstm.{l}.{g}.weight_hh_l0"] = rng.standard_normal((4*448, 448)).astype(np.float32)*0.02
+            sd[f"glstm.{l}.{g}.bias_ih_l0"] = np.zeros(4*448, np.float32)
+            sd[f"glstm.{l}.{g}.bias_hh_l0"] = np.zeros(4*448, np.float32)
+    for ln in ("ln1", "ln2"):
+        sd[f"glstm.{ln}.weight"] = np.ones(896, np.float32)
+        sd[f"glstm.{ln}.bias"] = np.zeros(896, np.float32)
+    dec = [(256, 128, 3), (256, 128, 3), (256, 64, 3), (128, 32, 3), (64, 16, 3)]
+    dfreqs = [15, 31, 63, 127, 255]
+    for branch in (1, 2):
+        for step in range(6):
+            k = 6 - step
+            if step < 5:
+                ci, co, ks = dec[step]
+                fr = dfreqs[step]
+            else:
+                ci, co, ks = 32, (1 if branch == 1 else 2), 5
+                fr = 513
+            for c in ("conv1", "conv2"):
+                sd[f"conv{k}_t_{branch}.{c}.weight"] = rng.standard_normal((ci, co, 1, ks)).astype(np.float32)*0.05
+                sd[f"conv{k}_t_{branch}.{c}.bias"] = np.zeros(co, np.float32)
+            sd[f"bn{k}_t_{branch}.weight"] = np.ones(fr, np.float32)
+            sd[f"bn{k}_t_{branch}.bias"] = np.zeros(fr, np.float32)
+    for fc in ("fc1", "fc2"):
+        sd[f"{fc}.weight"] = rng.standard_normal((513, 513)).astype(np.float32) * 0.02
+        sd[f"{fc}.bias"] = np.zeros(513, np.float32)
+
+    params = import_gcrn(sd, variables["params"], h)
+    outs = gen.apply({"params": params}, jnp.zeros((1, 80, 5)) - 4.0)
+    assert np.isfinite(np.asarray(outs[-1])).all()
+
+
+def test_import_hddemucas_structural():
+    from nvse_tpu.utils.torch_import import import_hddemucas
+
+    h = AttrDict(dict(model_name="HDDemucas", sampling_rate=22050, n_fft=1024,
+                      hop_size=256, win_size=1024, num_mels=80, fmin=0, fmax=8000,
+                      chin=1, chout=1, hidden=8, depth=2, kernel_size=8, stride=4,
+                      causal=False, resample=4, growth=2, max_hidden=10000,
+                      normalize=False, glu=True, rescale=0.1, floor=1e-3,
+                      init_phase="zero"))
+    gen, _ = build_generator(h)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 5)))
+    rng = np.random.default_rng(1)
+    sd = {}
+    chans = [(1, 1, 8), (8, 8, 16)]  # (chin, chout, hidden) per depth
+
+    def conv(prefix, cout, cin, k):
+        sd[f"{prefix}.weight"] = rng.standard_normal((cout, cin, k)).astype(np.float32) * 0.05
+        sd[f"{prefix}.bias"] = np.zeros(cout, np.float32)
+
+    def tconv(prefix, cin, cout, k):
+        sd[f"{prefix}.weight"] = rng.standard_normal((cin, cout, k)).astype(np.float32) * 0.05
+        sd[f"{prefix}.bias"] = np.zeros(cout, np.float32)
+
+    for i, (ci, co, hi) in enumerate(chans):
+        conv(f"encoder.{i}.0", hi, ci, 8)
+        conv(f"encoder.{i}.2", 2 * hi, hi, 1)
+    bott = chans[-1][2]
+    for layer, dim_in in ((0, bott), (1, 2 * bott)):
+        for d in ("", "_reverse"):
+            sd[f"lstm.lstm.weight_ih_l{layer}{d}"] = rng.standard_normal((4*bott, dim_in)).astype(np.float32)*0.05
+            sd[f"lstm.lstm.weight_hh_l{layer}{d}"] = rng.standard_normal((4*bott, bott)).astype(np.float32)*0.05
+            sd[f"lstm.lstm.bias_ih_l{layer}{d}"] = np.zeros(4*bott, np.float32)
+            sd[f"lstm.lstm.bias_hh_l{layer}{d}"] = np.zeros(4*bott, np.float32)
+    sd["lstm.linear.weight"] = rng.standard_normal((bott, 2*bott)).astype(np.float32)*0.05
+    sd["lstm.linear.bias"] = np.zeros(bott, np.float32)
+    # decoder lists (torch order coarse->fine == our step order)
+    for s, idx in enumerate(reversed(range(2))):   # step s uses construction idx
+        ci, co, hi = chans[idx]
+        conv(f"decoder_mask.{s}.0", 2 * hi, hi, 1)
+        tconv(f"decoder_mask.{s}.2", hi, co, 8)
+        conv(f"decoder_map.{s}.0", 2 * hi, hi, 1)
+        tconv(f"decoder_map.{s}.2", hi, co, 8)
+    for j in range(3):
+        conv(f"fb_conv{j+1}.0", 2, 2, 3)
+    sd["weight"] = np.asarray(0.5, np.float32)
+
+    params = import_hddemucas(sd, variables["params"], h)
+    wav = gen.apply({"params": params}, jnp.zeros((1, 80, 5)) - 4.0)
+    assert np.isfinite(np.asarray(wav)).all()
