@@ -121,13 +121,23 @@ def lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fwd(x_proj, w_hh):
-    return lstm_scan(x_proj, w_hh), (x_proj, w_hh)
+    if jax.default_backend() == "cpu" or pltpu is None:
+        return _xla_lstm_scan(x_proj, w_hh), (None, x_proj, w_hh)
+    from .pallas_lstm_bwd import lstm_fwd_hc
+
+    hs, cs = lstm_fwd_hc(x_proj, w_hh)
+    return hs, ((hs, cs), x_proj, w_hh)
 
 
 def _bwd(res, g):
-    x_proj, w_hh = res
-    _, vjp = jax.vjp(_xla_lstm_scan, x_proj, w_hh)
-    return vjp(g)
+    saved, x_proj, w_hh = res
+    if saved is None:  # CPU: autodiff the XLA scan (recompute)
+        _, vjp = jax.vjp(_xla_lstm_scan, x_proj, w_hh)
+        return vjp(g)
+    from .pallas_lstm_bwd import lstm_bwd
+
+    hs, cs = saved
+    return lstm_bwd(x_proj, hs, cs, g, w_hh)
 
 
 lstm_scan.defvjp(_fwd, _bwd)

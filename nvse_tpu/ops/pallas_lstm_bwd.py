@@ -1,0 +1,180 @@
+"""Pallas backward kernel for the LSTM recurrence.
+
+The forward kernel (pallas_lstm.py) left the backward as an XLA-scan
+recompute: forward-again + reverse scan, both paying XLA's per-step
+overhead. This module provides (a) a forward variant that also emits
+the cell states and (b) a reverse-time Pallas kernel computing
+dx_proj / dW_hh from (x_proj, hs, cs, dhs) with the gates recomputed
+in-kernel (one matmul) — the same VMEM-resident structure as the
+forward.
+
+Backward math per step (gate order i,f,g,o; all elementwise except the
+two matmuls):
+  gates_t = x_t + h_{t-1} @ W
+  dc_t    = dc_{t+1} + dh_t * o * (1 - tanh(c_t)^2)
+  dgates  = [dc*g*i*(1-i), dc*c_{t-1}*f*(1-f), dc*i*(1-g^2), dh*tanh(c)*o*(1-o)]
+  dh_{t-1}= dgates @ W^T        (added to the upstream dhs_{t-1})
+  dc_{t-1}= dc_t * f
+  dx_t    = dgates;  dW += h_{t-1}^T @ dgates
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+from .pallas_lstm import _MAX_BATCH_TILE
+
+
+def _fwd_kernel_hc(xp_ref, whh_ref, h_out, c_out, h_scratch, c_scratch):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+        c_scratch[...] = jnp.zeros_like(c_scratch)
+
+    h = h_scratch[...]
+    gates = xp_ref[0] + jnp.dot(h, whh_ref[...], preferred_element_type=jnp.float32)
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c = f * c_scratch[...] + i * g
+    h = o * jnp.tanh(c)
+    c_scratch[...] = c
+    h_scratch[...] = h
+    h_out[0] = h
+    c_out[0] = c
+
+
+def lstm_fwd_hc(x_proj: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = False):
+    """(T, B, 4H), (H, 4H) -> (hs, cs), each (T, B, H)."""
+    T, B, G = x_proj.shape
+    H = w_hh.shape[0]
+    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    nb = -(-B // Bt)
+    B_pad = nb * Bt
+    if B_pad != B:
+        x_proj = jnp.pad(x_proj, ((0, 0), (0, B_pad - B), (0, 0)))
+    hs, cs = pl.pallas_call(
+        _fwd_kernel_hc,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, Bt, G), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((H, G), lambda b, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B_pad, H), x_proj.dtype),
+            jax.ShapeDtypeStruct((T, B_pad, H), x_proj.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(x_proj, w_hh)
+    return hs[:, :B, :], cs[:, :B, :]
+
+
+def _bwd_kernel(xp_ref, hprev_ref, c_ref, cprev_ref, dh_up_ref, whh_ref,
+                dx_ref, dw_ref, dh_scratch, dc_scratch, dw_scratch):
+    # grid (nb, T); index maps feed REVERSED time (step 0 = last frame)
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        dh_scratch[...] = jnp.zeros_like(dh_scratch)
+        dc_scratch[...] = jnp.zeros_like(dc_scratch)
+        dw_scratch[...] = jnp.zeros_like(dw_scratch)
+
+    h_prev = hprev_ref[0]
+    w = whh_ref[...]
+    H = h_prev.shape[-1]
+    gates = xp_ref[0] + jnp.dot(h_prev, w, preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+
+    c = c_ref[0]
+    c_prev = cprev_ref[0]
+    tc = jnp.tanh(c)
+    dh = dh_up_ref[0] + dh_scratch[...]
+    dc = dc_scratch[...] + dh * o * (1.0 - tc * tc)
+
+    dgi = dc * g * i * (1.0 - i)
+    dgf = dc * c_prev * f * (1.0 - f)
+    dgg = dc * i * (1.0 - g * g)
+    dgo = dh * tc * o * (1.0 - o)
+    dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
+
+    dx_ref[0] = dgates
+    dh_scratch[...] = jnp.dot(dgates, w.T, preferred_element_type=jnp.float32)
+    dc_scratch[...] = dc * f
+    dw_scratch[...] += jnp.dot(h_prev.T, dgates, preferred_element_type=jnp.float32)
+
+    @pl.when(t == T - 1)
+    def _():
+        dw_ref[0] = dw_scratch[...]
+
+
+def lstm_bwd(x_proj, hs, cs, dhs, w_hh, interpret: bool = False):
+    """Reverse-time backward -> (dx_proj, dw_hh)."""
+    T, B, G = x_proj.shape
+    H = w_hh.shape[0]
+    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    nb = -(-B // Bt)
+    B_pad = nb * Bt
+
+    def padb(a):
+        if B_pad != B:
+            return jnp.pad(a, ((0, 0), (0, B_pad - B), (0, 0)))
+        return a
+
+    zeros = jnp.zeros((1, B, H), x_proj.dtype)
+    h_prev = padb(jnp.concatenate([zeros, hs[:-1]], axis=0))
+    c_prev = padb(jnp.concatenate([zeros, cs[:-1]], axis=0))
+    x_proj = padb(x_proj)
+    cs = padb(cs)
+    dhs = padb(dhs)
+
+    rev = lambda b, t: (T - 1 - t, b, 0)  # reversed time
+    dx, dw = pl.pallas_call(
+        _bwd_kernel,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, Bt, G), rev),        # x_proj
+            pl.BlockSpec((1, Bt, H), rev),        # h_prev
+            pl.BlockSpec((1, Bt, H), rev),        # c
+            pl.BlockSpec((1, Bt, H), rev),        # c_prev
+            pl.BlockSpec((1, Bt, H), rev),        # upstream dh
+            pl.BlockSpec((H, G), lambda b, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Bt, G), rev),
+            pl.BlockSpec((1, H, G), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B_pad, G), x_proj.dtype),
+            jax.ShapeDtypeStruct((nb, H, G), x_proj.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((H, G), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(x_proj, h_prev, cs, c_prev, dhs, w_hh)
+    return dx[:, :B, :], jnp.sum(dw, axis=0)

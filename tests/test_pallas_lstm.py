@@ -81,3 +81,23 @@ def test_bidir_kernel_multi_tile_interpret():
     ref = np.asarray(_xla_lstm_scan_bidir(xp, ws))
     got = np.asarray(_pallas_lstm_scan_bidir(xp, ws, B, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bwd_kernel_parity_interpret():
+    """Pallas backward kernel grads == autodiff of the XLA scan."""
+    from nvse_tpu.ops.pallas_lstm_bwd import lstm_bwd, lstm_fwd_hc
+
+    rng = np.random.default_rng(0)
+    for (T, B, H) in [(13, 20, 16), (5, 1100, 8)]:
+        xp = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * 0.4)
+        w = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.15)
+        hs, cs = lstm_fwd_hc(xp, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(hs), np.asarray(_xla_lstm_scan(xp, w)),
+                                   rtol=1e-5, atol=1e-5)
+        dhs = jnp.asarray(rng.standard_normal((T, B, H)).astype(np.float32))
+        gx_ref, gw_ref = jax.grad(
+            lambda xp, w: jnp.sum(_xla_lstm_scan(xp, w) * dhs), argnums=(0, 1)
+        )(xp, w)
+        gx, gw = lstm_bwd(xp, hs, cs, dhs, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=2e-4, atol=2e-4)
