@@ -30,6 +30,11 @@ except Exception:  # pragma: no cover
 
 from .pallas_lstm import _MAX_BATCH_TILE
 
+# The backward kernel streams 5 tensors per step (x, h_prev, c, c_prev,
+# upstream dh) plus dx out — with double buffering a 1024-row tile just
+# overflows the 16 MB VMEM. Half-size tiles leave comfortable headroom.
+_MAX_BWD_TILE = 512
+
 
 def _fwd_kernel_hc(xp_ref, whh_ref, h_out, c_out, h_scratch, c_scratch):
     t = pl.program_id(1)
@@ -134,7 +139,7 @@ def lstm_bwd(x_proj, hs, cs, dhs, w_hh, interpret: bool = False):
     """Reverse-time backward -> (dx_proj, dw_hh)."""
     T, B, G = x_proj.shape
     H = w_hh.shape[0]
-    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    Bt = min(_MAX_BWD_TILE, (B + 7) // 8 * 8)
     nb = -(-B // Bt)
     B_pad = nb * Bt
 
