@@ -34,7 +34,11 @@ __version__ = "0.1.0"
 # NVSE_NO_COMPILE_CACHE=1.
 import os as _os
 
-if not _os.environ.get("NVSE_NO_COMPILE_CACHE"):
+if (not _os.environ.get("NVSE_NO_COMPILE_CACHE")
+        and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")):
+    # TPU-only: cached CPU AOT artifacts are machine-feature-specific
+    # (XLA warns they can SIGILL across hosts); CPU compiles are cheap
+    # anyway, so the cache is enabled only for accelerator platforms
     try:
         import jax as _jax
 
