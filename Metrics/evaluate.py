@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Periodicity RMSE / pitch RMSE (cents) / V-UV F1 over decoded wav dirs.
 
-Counterpart of reference Metrics/evaluate.py (which uses cargan +
-torchcrepe); here pitch and periodicity come from YIN.
+Counterpart of reference Metrics/evaluate.py:35-76 (cargan + torchcrepe
+there; YIN pitch + YIN periodicity confidence here). Prints all three
+aggregates like the reference.
     python Metrics/evaluate.py --ref_dir <clean> --deg_dir <decoded>
 """
 import os
@@ -10,13 +11,15 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from nvse_tpu.metrics.common import run_metric_cli
+from nvse_tpu.metrics.common import run_multi_metric_cli
 from nvse_tpu.metrics.dsp import periodicity_metrics
 
-
-def _score(ref, deg, sr):
-    return periodicity_metrics(ref, deg, sr)["periodicity_rmse"]
-
-
 if __name__ == "__main__":
-    run_metric_cli("Periodicity-RMSE", _score, default_sr=22050)
+    run_multi_metric_cli(
+        {"periodicity_rmse": "Periodicity",
+         "pitch_rmse_cents": "Pitch-RMSE (cents)",
+         "vuv_f1": "V/UV F1"},
+        periodicity_metrics,
+        default_sr=22050,
+        description="evaluate (periodicity / pitch / V-UV F1)",
+    )

@@ -1,21 +1,28 @@
 #!/usr/bin/env python
-"""V/UV error rate + semitone accuracy (YIN pitch).
+"""log-F0 RMSE + semitone accuracy + V/UV error rate (DTW-aligned).
 
-CLI contract matches the reference Metrics/evaluate_f0.py:
+CLI contract matches the reference Metrics/evaluate_f0.py (which prints
+all three aggregates, evaluate_f0.py:389-396):
     python Metrics/evaluate_f0.py --ref_dir <clean_dir> --deg_dir <decoded_dir> [--sr N] [--jb N]
+
+Pitch is YIN, alignment is banded DTW on DCT mel-cepstra (the reference
+uses WORLD harvest + SPTK mcep + fastdtw; same pipeline shape, so the
+values are internally consistent but on a different absolute scale).
 """
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from nvse_tpu.metrics.common import run_metric_cli
-from nvse_tpu.metrics.dsp import f0_metrics
-
-
-def vuv_error(ref, deg, sr):
-    return f0_metrics(ref, deg, sr)["vuv_error"]
-
+from nvse_tpu.metrics.common import run_multi_metric_cli
+from nvse_tpu.metrics.dsp import evaluate_f0_metrics
 
 if __name__ == "__main__":
-    run_metric_cli("VUV-error", vuv_error, default_sr=22050)
+    run_multi_metric_cli(
+        {"log_f0_rmse": "log_F0-RMSE",
+         "semitone_acc": "Semitone_ACC %",
+         "vuv_error": "VUV_ERROR %"},
+        evaluate_f0_metrics,
+        default_sr=22050,
+        description="evaluate_f0 (log-F0 RMSE / semitone ACC / VUV error)",
+    )

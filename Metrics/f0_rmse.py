@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""F0 RMSE (YIN pitch, voiced-in-both frames) over decoded wav dirs.
+"""F0 RMSE in Hz (DTW-aligned, voiced-in-both frames).
 
-CLI contract matches the reference Metrics/f0_rmse.py:
+CLI contract matches the reference Metrics/f0_rmse.py:18-131 (WORLD
+harvest F0, mcep-DTW aligned, voiced-only RMSE there; YIN + DCT
+mel-cepstra + banded DTW here):
     python Metrics/f0_rmse.py --ref_dir <clean_dir> --deg_dir <decoded_dir> [--sr N] [--jb N]
 """
 import os
@@ -10,7 +12,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from nvse_tpu.metrics.common import run_metric_cli
-from nvse_tpu.metrics.dsp import f0_rmse
+from nvse_tpu.metrics.dsp import evaluate_f0_metrics
+
+
+def _score(ref, deg, sr):
+    return evaluate_f0_metrics(ref, deg, sr)["f0_rmse_hz"]
+
 
 if __name__ == "__main__":
-    run_metric_cli("F0-RMSE", f0_rmse, default_sr=22050)
+    run_metric_cli("F0-RMSE", _score, default_sr=22050)

@@ -39,6 +39,7 @@ class InferenceEngine:
     params: dict | None = None
     bucket_frames: int = 64
     _fns: dict = field(default_factory=dict)
+    _warmed: set = field(default_factory=set)
 
     def __post_init__(self):
         self.generator, self.domain = build_generator(self.h)
@@ -96,9 +97,21 @@ class InferenceEngine:
         return wav[..., :out_len]
 
     def warmup(self, T: int) -> None:
+        """Compile + run the bucket for T frames once, outside any timer.
+
+        Idempotent per bucket: every distinct bucket pays its XLA compile
+        here, never inside the timed region (a length-diverse test set
+        hits several buckets, not just the first file's).
+        """
         Tb = _bucket(T, self.bucket_frames)
+        if Tb in self._warmed:
+            return
         mel = jnp.full((1, self.h.num_mels, Tb), float(np.log(1e-5)))
-        self._fn(Tb)(self.params, mel).block_until_ready()
+        # sync via host transfer, not block_until_ready: through the TPU
+        # tunnel block_until_ready is a no-op and the compile+execute
+        # would otherwise be deferred into the first timed np.asarray
+        np.asarray(self._fn(Tb)(self.params, mel))
+        self._warmed.add(Tb)
 
 
 def resolve_filelist(h) -> list[str]:
@@ -121,7 +134,7 @@ def run_inference(h, limit: int | None = None, log_fn=print) -> dict:
 
     total_audio_sec = 0.0
     total_wall = 0.0
-    for i, path in enumerate(files):
+    for path in files:
         if h.get("test_mel_load"):
             mel = jnp.asarray(np.load(path)[None, ...])
             audio_len = mel.shape[-1] * h.hop_size
@@ -129,8 +142,7 @@ def run_inference(h, limit: int | None = None, log_fn=print) -> dict:
             audio = load_wav(path, h.sampling_rate)
             mel = engine.mel_of(audio)
             audio_len = len(audio)
-        if i == 0:
-            engine.warmup(mel.shape[-1])
+        engine.warmup(mel.shape[-1])
         t0 = time.time()
         wav = engine.synthesize_mel(mel, out_len=audio_len)
         wav = np.asarray(wav)

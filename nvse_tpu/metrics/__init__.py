@@ -1,3 +1,3 @@
-from .dsp import (estoi, f0_metrics, f0_rmse, lsd, mcd, mcd_dtw,
-    periodicity_metrics, snr, stoi, yin_f0, yin_f0_conf)
+from .dsp import (estoi, evaluate_f0_metrics, f0_metrics, f0_rmse, lsd,
+    mcd, mcd_dtw, periodicity_metrics, snr, stoi, yin_f0, yin_f0_conf)
 from .dtw import dtw_distance, dtw_path

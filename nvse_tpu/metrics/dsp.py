@@ -241,6 +241,61 @@ def f0_rmse(ref, deg, sr):
     return f0_metrics(ref, deg, sr)["f0_rmse"]
 
 
+_C0 = 440.0 * 2.0 ** (-4.75)  # Hz of C0, the semitone-grid origin
+
+
+def _semitone_index(f0: np.ndarray) -> np.ndarray:
+    """Integer semitone index per frame; large negative = silence.
+
+    Matches the reference label scheme (evaluate_f0.py:26-38): the
+    name+octave string is a bijection of round(12*log2(f/C0)), so label
+    equality == index equality, with 'Sil' for unvoiced frames."""
+    idx = np.full(f0.shape, -(10 ** 9), dtype=np.int64)
+    v = f0 > 0
+    idx[v] = np.round(12.0 * np.log2(f0[v] / _C0)).astype(np.int64)
+    return idx
+
+
+def evaluate_f0_metrics(ref: np.ndarray, deg: np.ndarray, sr: int) -> dict:
+    """DTW-aligned log-F0 RMSE, semitone ACC, V/UV error, and Hz F0-RMSE.
+
+    Reference Metrics/evaluate_f0.py:136-208 and f0_rmse.py:18-131
+    semantics (WORLD harvest + SPTK mcep + fastdtw there; YIN + DCT
+    mel-cepstra + banded DTW here — same align-then-compare pipeline,
+    different extractors, so absolute values are on a different scale
+    than the paper's WORLD numbers).
+    """
+    from .dtw import dtw_path
+
+    f0r = yin_f0(ref, sr)
+    f0d = yin_f0(deg, sr)
+    R = _mel_cepstra(ref, sr)
+    D = _mel_cepstra(deg, sr)
+    # mcep has a few more frames than YIN (YIN needs frame+tau_max of
+    # lookahead); align the common prefix so DTW indices stay valid
+    nr = min(len(R), len(f0r))
+    nd = min(len(D), len(f0d))
+    if nr == 0 or nd == 0:
+        return {"log_f0_rmse": np.nan, "semitone_acc": np.nan,
+                "vuv_error": np.nan, "f0_rmse_hz": np.nan}
+    pd_, pr = dtw_path(D[:nd], R[:nr], band=max(10, abs(nd - nr) + 10))
+    gt = f0r[pr]
+    gen = f0d[pd_]
+
+    out = {"semitone_acc": float(np.mean(_semitone_index(gt) == _semitone_index(gen)))}
+    vr, vd = gt > 0, gen > 0
+    out["vuv_error"] = float(np.mean(vr != vd))
+    both = vr & vd
+    if both.any():
+        out["log_f0_rmse"] = float(
+            np.sqrt(np.mean((np.log(gen[both]) - np.log(gt[both])) ** 2)))
+        out["f0_rmse_hz"] = float(np.sqrt(np.mean((gen[both] - gt[both]) ** 2)))
+    else:
+        out["log_f0_rmse"] = np.nan
+        out["f0_rmse_hz"] = np.nan
+    return out
+
+
 def mcd_dtw(ref: np.ndarray, deg: np.ndarray, sr: int) -> float:
     """DTW-aligned mel-cepstral distortion (Metrics/mcd_utils.py semantics:
     SPTK mcep + fastdtw there; DCT mel-cepstra + banded DTW here)."""

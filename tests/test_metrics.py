@@ -95,3 +95,21 @@ def test_periodicity_metrics():
     b = np.sin(2 * np.pi * 233.0 * t).astype(np.float32)  # ~+100 cents
     m2 = periodicity_metrics(a, b, SR)
     assert 60 < m2["pitch_rmse_cents"] < 140
+
+
+def test_evaluate_f0_metrics_identity_and_shift():
+    from nvse_tpu.metrics.dsp import evaluate_f0_metrics
+
+    x = _speechish(f0=180.0)
+    m = evaluate_f0_metrics(x, x, SR)
+    assert m["log_f0_rmse"] < 1e-6
+    assert m["semitone_acc"] > 0.99
+    assert m["vuv_error"] < 1e-6
+    assert m["f0_rmse_hz"] < 1e-3
+
+    # one-semitone shift: log-F0 RMSE ~ ln(2^(1/12)) = 0.0578, ACC low
+    y = _speechish(f0=180.0 * 2 ** (1 / 12))
+    m2 = evaluate_f0_metrics(x, y, SR)
+    assert 0.03 < m2["log_f0_rmse"] < 0.09, m2
+    assert m2["semitone_acc"] < m["semitone_acc"]
+    assert m2["f0_rmse_hz"] > 5.0
