@@ -20,9 +20,12 @@ def main() -> None:
     p.add_argument("--cfg_filename", default=os.path.join(
         os.path.dirname(__file__), "..", "nvse_tpu", "configs", "bsrnn_config.json"))
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--stream", action="store_true",
+                   help="chunked constant-memory decode (one compiled "
+                        "window shape for any utterance length)")
     args = p.parse_args()
     h = load_config(args.cfg_filename)
-    run_inference(h, limit=args.limit)
+    run_inference(h, limit=args.limit, stream=args.stream)
 
 
 if __name__ == "__main__":

@@ -89,25 +89,25 @@ class JointDataset:
     def __len__(self) -> int:
         return len(self.speech_files) // self.batch_size
 
-    def _draw_task(self) -> str:
+    def _draw_task(self, rng) -> str:
         td = self.task_dict
         if isinstance(td, str):
             return td
         if len(td) == 1:
             return td[0]
-        return td[self.rng.choices([0, 1], weights=[0.5, 0.5], k=1)[0]]
+        return td[rng.choices([0, 1], weights=[0.5, 0.5], k=1)[0]]
 
-    def _crop_speech(self, audio: np.ndarray, seg: int) -> np.ndarray:
+    def _crop_speech(self, audio: np.ndarray, seg: int, rng) -> np.ndarray:
         if len(audio) >= seg:
-            start = self.rng.randint(0, len(audio) - seg)
+            start = rng.randint(0, len(audio) - seg)
             return audio[start : start + seg]
         nrep = int(np.ceil(seg / len(audio)))
         return np.tile(audio, nrep)[:seg]
 
-    def _crop_noise(self, noise: np.ndarray, seg: int) -> np.ndarray:
+    def _crop_noise(self, noise: np.ndarray, seg: int, rng, np_rng) -> np.ndarray:
         if len(noise) >= seg:
             for _ in range(100):
-                start = self.rng.randint(0, len(noise) - seg)
+                start = rng.randint(0, len(noise) - seg)
                 n = noise[start : start + seg]
                 if float((n**2).sum()) > 1e-2:
                     return n
@@ -115,15 +115,15 @@ class JointDataset:
         nrep = int(np.ceil(seg / len(noise)))
         n = np.tile(noise, nrep)[:seg]
         if float((n**2).sum()) <= 1e-2:
-            n = n + 0.1 * self.np_rng.standard_normal(n.shape)
+            n = n + 0.1 * np_rng.standard_normal(n.shape)
         return n.astype(np.float32)
 
-    def _mix(self, audio: np.ndarray, seg: int) -> tuple[np.ndarray, np.ndarray]:
-        noise = load_wav(self.rng.choice(self.noise_files), self.sampling_rate)
+    def _mix(self, audio: np.ndarray, seg: int, rng, np_rng) -> tuple[np.ndarray, np.ndarray]:
+        noise = load_wav(rng.choice(self.noise_files), self.sampling_rate)
         noise = 100.0 * noise  # pre-amplify (:250)
-        noise = self._crop_noise(noise, seg)
+        noise = self._crop_noise(noise, seg, rng, np_rng)
 
-        snr_db = float(np.round(self.np_rng.uniform(*self.snr_range), decimals=1))
+        snr_db = float(np.round(np_rng.uniform(*self.snr_range), decimals=1))
         l_audio = integrated_loudness(audio, self.sampling_rate)
         l_noise = integrated_loudness(noise, self.sampling_rate)
         gain = 10.0 ** ((l_audio - snr_db - l_noise) / 20.0)
@@ -133,22 +133,31 @@ class JointDataset:
 
         # anti-clipping rescale (:304-308)
         while np.max(np.abs(noisy)) >= 1.0:
-            target = self.np_rng.uniform(0.3, 0.9)
+            target = np_rng.uniform(0.3, 0.9)
             c = target / (np.max(np.abs(noisy)) + 1e-5)
             noisy, audio = noisy * c, audio * c
         return noisy.astype(np.float32), audio.astype(np.float32)
 
-    def get_batch(self, index: int) -> tuple[np.ndarray, np.ndarray, str]:
-        task = self._draw_task()
+    def get_batch(self, index: int, seed: int | None = None
+                  ) -> tuple[np.ndarray, np.ndarray, str]:
+        """Build batch `index`. With `seed` the call is self-contained
+        (own RNGs) and therefore thread-safe; without it the dataset's
+        shared RNGs are used (single-threaded paths, e.g. validation)."""
+        if seed is None:
+            rng, np_rng = self.rng, self.np_rng
+        else:
+            rng = random.Random(seed)
+            np_rng = np.random.default_rng(seed)
+        task = self._draw_task(rng)
         seg = self.segment_size
         inputs, cleans = [], []
         for j in range(self.batch_size):
             idx = (index * self.batch_size + j) % len(self.speech_files)
             audio = load_wav(self.speech_files[idx], self.sampling_rate)
             if self.split:
-                audio = self._crop_speech(audio, seg)
+                audio = self._crop_speech(audio, seg, rng)
             if task == "denoise":
-                noisy, clean = self._mix(audio, len(audio))
+                noisy, clean = self._mix(audio, len(audio), rng, np_rng)
             else:
                 noisy, clean = audio, audio
             inputs.append(noisy)
@@ -158,3 +167,67 @@ class JointDataset:
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, str]]:
         for i in range(len(self)):
             yield self.get_batch(i)
+
+
+class PrefetchJointLoader:
+    """Threaded epoch iterator over a JointDataset.
+
+    The joint batch build is host-heavy (noise decode + two BS.1770
+    loudness integrations per item, dataset_joint_denoise_vocoder.py:
+    291-301); running it synchronously starves the chip. Worker threads
+    build batches by index with per-batch seeded RNGs (deterministic
+    given (seed, epoch, index)) into a bounded queue; batches are
+    yielded in order.
+    """
+
+    def __init__(self, dataset: JointDataset, num_workers: int = 4,
+                 seed: int = 1234):
+        self.dataset = dataset
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, str]]:
+        import queue
+        import threading
+
+        nb = len(self.dataset)
+        epoch = self.epoch
+        self.epoch += 1
+        idx_q: queue.Queue = queue.Queue()
+        for b in range(nb):
+            idx_q.put(b)
+        results: dict[int, tuple] = {}
+        lock = threading.Lock()
+        ready = threading.Condition(lock)
+        # backpressure: at most ~2 queue slots per worker in flight
+        slots = threading.Semaphore(2 * self.num_workers)
+
+        def worker():
+            while True:
+                slots.acquire()
+                try:
+                    b = idx_q.get_nowait()
+                except queue.Empty:
+                    slots.release()
+                    return
+                batch = self.dataset.get_batch(
+                    b, seed=self.seed * 1_000_003 + epoch * 131 + b)
+                with ready:
+                    results[b] = batch
+                    ready.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(min(self.num_workers, max(nb, 1)))]
+        for t in threads:
+            t.start()
+        for b in range(nb):
+            with ready:
+                while b not in results:
+                    ready.wait()
+                batch = results.pop(b)
+            slots.release()
+            yield batch

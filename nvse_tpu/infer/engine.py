@@ -96,14 +96,49 @@ class InferenceEngine:
             out_len = T * self.h.hop_size
         return wav[..., :out_len]
 
-    def warmup(self, T: int) -> None:
-        """Compile + run the bucket for T frames once, outside any timer.
+    def synthesize_streaming(self, mel: jnp.ndarray, out_len: int | None = None,
+                             chunk_frames: int = 64, context_frames: int = 16
+                             ) -> np.ndarray:
+        """Chunked decode for unbounded-length inputs (SURVEY §5.7).
 
-        Idempotent per bucket: every distinct bucket pays its XLA compile
-        here, never inside the timed region (a length-diverse test set
-        hits several buckets, not just the first file's).
+        One static shape regardless of utterance length: mel is cut into
+        `chunk_frames` windows with `context_frames` of context on each
+        side; each window is decoded independently and only the centre
+        `chunk_frames * hop` samples are kept. Exactly one XLA compile,
+        O(chunk) latency, constant memory — the TPU answer to the
+        reference's run-the-whole-utterance decode
+        (infers/inference_bsrnn.py:82-84). For causal models the left
+        context reproduces the recurrent state almost exactly; for
+        non-causal models it bounds the lookahead error.
         """
-        Tb = _bucket(T, self.bucket_frames)
+        B, M, T = mel.shape
+        c, ctx = chunk_frames, context_frames
+        hop = self.h.hop_size
+        n_chunks = (T + c - 1) // c
+        pad_val = float(np.log(1e-5))
+        # pad so every window [i*c - ctx, (i+1)*c + ctx) is in range
+        melp = jnp.pad(mel, ((0, 0), (0, 0), (ctx, n_chunks * c - T + ctx)),
+                       constant_values=pad_val)
+        fn = self._fn(c + 2 * ctx)
+        pieces = []
+        for i in range(n_chunks):
+            win = jax.lax.dynamic_slice_in_dim(melp, i * c, c + 2 * ctx, axis=2)
+            wav = fn(self.params, win)
+            pieces.append(np.asarray(wav[..., ctx * hop : (ctx + c) * hop]))
+        out = np.concatenate(pieces, axis=-1)
+        if out_len is None:
+            out_len = T * hop
+        return out[..., :out_len]
+
+    def warmup(self, T: int, exact: bool = False) -> None:
+        """Compile + run the T-frame shape once, outside any timer.
+
+        Idempotent per shape: every distinct bucket pays its XLA compile
+        here, never inside the timed region (a length-diverse test set
+        hits several buckets, not just the first file's). exact=True
+        compiles T itself (streaming windows are not bucket-aligned).
+        """
+        Tb = T if exact else _bucket(T, self.bucket_frames)
         if Tb in self._warmed:
             return
         mel = jnp.full((1, self.h.num_mels, Tb), float(np.log(1e-5)))
@@ -124,9 +159,17 @@ def resolve_filelist(h) -> list[str]:
     return [os.path.join(src, n) for n in sorted(os.listdir(src)) if n.endswith(".wav")]
 
 
-def run_inference(h, limit: int | None = None, log_fn=print) -> dict:
-    """Decode the test set, write wavs, print + return RTF stats."""
+def run_inference(h, limit: int | None = None, log_fn=print,
+                  stream: bool = False) -> dict:
+    """Decode the test set, write wavs, print + return RTF stats.
+
+    stream=True (or h.stream) uses the chunked constant-memory decoder:
+    a single compiled window shape for any utterance length.
+    """
     engine = InferenceEngine(h)
+    stream = stream or bool(h.get("stream"))
+    chunk = int(h.get("stream_chunk_frames", 64))
+    ctx = int(h.get("stream_context_frames", 16))
     files = resolve_filelist(h)
     if limit:
         files = files[:limit]
@@ -142,9 +185,17 @@ def run_inference(h, limit: int | None = None, log_fn=print) -> dict:
             audio = load_wav(path, h.sampling_rate)
             mel = engine.mel_of(audio)
             audio_len = len(audio)
-        engine.warmup(mel.shape[-1])
+        if stream:
+            engine.warmup(chunk + 2 * ctx, exact=True)
+        else:
+            engine.warmup(mel.shape[-1])
         t0 = time.time()
-        wav = engine.synthesize_mel(mel, out_len=audio_len)
+        if stream:
+            wav = engine.synthesize_streaming(mel, out_len=audio_len,
+                                              chunk_frames=chunk,
+                                              context_frames=ctx)
+        else:
+            wav = engine.synthesize_mel(mel, out_len=audio_len)
         wav = np.asarray(wav)
         total_wall += time.time() - t0
         total_audio_sec += audio_len / h.sampling_rate

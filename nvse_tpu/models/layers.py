@@ -106,6 +106,10 @@ class Conv1d(nn.Module):
         else:
             kernel = self.param("kernel", kinit, kshape)
 
+        # lax.conv requires matching operand dtypes; under mixed
+        # precision the input may arrive f32 (e.g. after f32 DSP ops)
+        # while params are bf16, or vice versa — follow the params
+        x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -159,6 +163,10 @@ class ConvTranspose1d(nn.Module):
 
         eff_k = self.dilation * (k - 1) + 1
         pad = eff_k - 1 - self.padding
+        # lax.conv requires matching operand dtypes; under mixed
+        # precision the input may arrive f32 (e.g. after f32 DSP ops)
+        # while params are bf16, or vice versa — follow the params
+        x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             jnp.flip(kernel, axis=0),
@@ -204,6 +212,10 @@ class Conv2d(nn.Module):
         else:
             kernel = self.param("kernel", kinit, kshape)
 
+        # lax.conv requires matching operand dtypes; under mixed
+        # precision the input may arrive f32 (e.g. after f32 DSP ops)
+        # while params are bf16, or vice versa — follow the params
+        x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -248,6 +260,10 @@ class ConvTranspose2d(nn.Module):
             kernel = self.param("kernel", kinit, kshape)
 
         pads = [(kh - 1 - self.padding[0],) * 2, (kw - 1 - self.padding[1],) * 2]
+        # lax.conv requires matching operand dtypes; under mixed
+        # precision the input may arrive f32 (e.g. after f32 DSP ops)
+        # while params are bf16, or vice versa — follow the params
+        x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             jnp.flip(jnp.flip(kernel, axis=0), axis=1),
@@ -301,6 +317,10 @@ class SNConv1d(nn.Module):
             u_var.value = jax.lax.stop_gradient(u_new)
         kernel = kernel / jax.lax.stop_gradient(sigma)
 
+        # lax.conv requires matching operand dtypes; under mixed
+        # precision the input may arrive f32 (e.g. after f32 DSP ops)
+        # while params are bf16, or vice versa — follow the params
+        x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,

@@ -93,6 +93,13 @@ def train(h, log_fn=print) -> None:
     n_avail = len(jax.devices())
     # use as many devices as evenly divide the global batch
     n_dev = _math.gcd(int(h.batch_size), n_avail)
+    if n_dev != n_avail:
+        log_fn(
+            f"WARNING: batch_size={h.batch_size} is not divisible by the "
+            f"{n_avail} available devices; training will use only {n_dev} "
+            f"device(s). Set batch_size to a multiple of {n_avail} to use "
+            "the full mesh."
+        )
     mesh = get_mesh(n_dev) if n_dev > 1 else None
 
     # multi-host: each process loads its static shard of the filelist
@@ -129,10 +136,17 @@ def train(h, log_fn=print) -> None:
     except Exception:
         sw = None
 
+    gt_logged = [False]
+
     def validate(step: int) -> None:
         agg: dict[str, float] = {}
         count = 0
-        for i in range(min(len(val_ds), 16)):
+        # validation_cap<=0 means the full validation set (the reference
+        # validates everything, train_tf_wi_inv.py:313-417; default 16
+        # keeps the smoke/CI cadence cheap)
+        cap = int(h.get("validation_cap", 16))
+        n_val = len(val_ds) if cap <= 0 else min(len(val_ds), cap)
+        for i in range(n_val):
             audio = jnp.asarray(val_ds[i][None, :])
             y_g, metrics = fns.eval_step(gen_state, audio, None)
             for k, v in metrics.items():
@@ -142,6 +156,11 @@ def train(h, log_fn=print) -> None:
                 try:  # tensorboardX audio encoding needs soundfile
                     wav = np.asarray(y_g[0])
                     sw.add_audio(f"generated/y_hat_{i}", wav[:, None], step, h.sampling_rate)
+                    if not gt_logged[0]:
+                        # ground-truth audio + mel figure, logged once
+                        # (reference train_tf_wi_inv.py:363-377)
+                        gt = np.asarray(audio[0])
+                        sw.add_audio(f"gt/y_{i}", gt[:, None], step, h.sampling_rate)
                 except Exception:
                     pass
                 if i == 0:
@@ -151,8 +170,14 @@ def train(h, log_fn=print) -> None:
                             y_g[:1], h.n_fft, h.num_mels, h.sampling_rate,
                             h.hop_size, h.win_size, h.fmin, h.sampling_rate / 2))[0]
                         sw.add_figure("generated/y_hat_spec", _plot_spectrogram(m), step)
+                        if not gt_logged[0]:
+                            mg = np.asarray(mel_spectrogram(
+                                audio[:1], h.n_fft, h.num_mels, h.sampling_rate,
+                                h.hop_size, h.win_size, h.fmin, h.sampling_rate / 2))[0]
+                            sw.add_figure("gt/y_spec", _plot_spectrogram(mg), step)
                     except Exception:
                         pass
+        gt_logged[0] = True
         if count:
             for k, v in agg.items():
                 if sw is not None:

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.joint_dataset import JointDataset, get_joint_filelist
+from ..data.joint_dataset import JointDataset, PrefetchJointLoader, get_joint_filelist
 from ..models import build_generator
 from ..parallel import get_mesh, shard_batch
 from ..utils import build_env
@@ -37,12 +37,21 @@ def train_joint(h, log_fn=print) -> None:
     import math as _math
     n_avail = len(jax.devices())
     n_dev = _math.gcd(int(h.batch_size), n_avail)
+    if n_dev != n_avail:
+        log_fn(
+            f"WARNING: batch_size={h.batch_size} is not divisible by the "
+            f"{n_avail} available devices; training will use only {n_dev} "
+            f"device(s). Set batch_size to a multiple of {n_avail} to use "
+            "the full mesh."
+        )
     mesh = get_mesh(n_dev) if n_dev > 1 else None
 
     ds = JointDataset(
         train_files, train_noise, tuple(h.snr_range), h.segment_size,
         h.sampling_rate, h.batch_size, task_dict=h.task_dict, seed=h.seed,
     )
+    loader = PrefetchJointLoader(ds, num_workers=h.get("num_workers", 4),
+                                 seed=h.seed)
     steps_per_epoch = max(1, len(ds))
 
     example_F = h.n_fft // 2 + 1
@@ -98,14 +107,28 @@ def train_joint(h, log_fn=print) -> None:
                 log_fn(f"step {step} val[{task}]: " +
                        " ".join(f"{k}={v / count:.4f}" for k, v in sorted(agg.items())))
 
+    def device_batches():
+        """H2D prefetch on top of the threaded host loader: dispatch the
+        next batch's transfer while the current step computes."""
+        def put(noisy, clean, task):
+            cj, nj = jnp.asarray(clean), jnp.asarray(noisy)
+            if mesh is not None:
+                cj, nj = shard_batch(cj, mesh), shard_batch(nj, mesh)
+            return cj, nj, task
+
+        it = iter(loader)
+        try:
+            nxt = put(*next(it))
+        except StopIteration:
+            return
+        for b in it:
+            cur, nxt = nxt, put(*b)
+            yield cur
+        yield nxt
+
     for epoch in range(max(0, last_epoch), h.training_epochs):
         t0 = time.time()
-        for noisy, clean, task in ds:
-            clean_j = jnp.asarray(clean)
-            noisy_j = jnp.asarray(noisy)
-            if mesh is not None:
-                clean_j = shard_batch(clean_j, mesh)
-                noisy_j = shard_batch(noisy_j, mesh)
+        for clean_j, noisy_j, task in device_batches():
             gen_state, disc_state, metrics = step_fns[task].train_step(
                 gen_state, disc_state, clean_j, noisy_j
             )

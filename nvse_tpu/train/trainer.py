@@ -141,6 +141,27 @@ def make_train_step(h, generator, domain: str, mesh=None,
     d_loss_fn = ls_discriminator_loss if use_ls else hinge_discriminator_loss
     g_loss_fn = ls_generator_loss if use_ls else hinge_generator_loss
 
+    # mixed precision (SURVEY §7 step 9): h.compute_dtype="bfloat16" runs
+    # the generator + discriminator trunks in bf16; features, losses,
+    # params, and optimizer states stay f32 (master weights). The casts
+    # are linear, so grads come back f32 through the cast transpose.
+    compute_dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16}.get(
+        str(h.get("compute_dtype")))
+
+    def _to_compute(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    def _to_f32(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
     sr = h.sampling_rate
     melargs = (h.n_fft, h.num_mels, sr, h.hop_size, h.win_size)
     # h.meloss is the fmax of the mel-loss target; null -> sr/2
@@ -169,23 +190,35 @@ def make_train_step(h, generator, domain: str, mesh=None,
             return mel, meloss, logamp, pha, rea, imag
         return mel, meloss, None, None, None, None
 
+    def mpd_apply(params, y, y_hat):
+        out = mpd.apply({"params": _to_compute(params)},
+                        *_to_compute((y, y_hat)))
+        return _to_f32(out)
+
     def scale_apply(params, spectral, y, y_hat, update_stats):
+        params = _to_compute(params)
+        y, y_hat = _to_compute((y, y_hat))
         if spectral is not None:
             variables = {"params": params, "spectral": spectral}
             if update_stats:
                 out, updates = scale_disc.apply(
                     variables, y, y_hat, True, mutable=["spectral"]
                 )
-                return out, updates["spectral"]
+                return _to_f32(out), _to_f32(updates["spectral"])
             out = scale_disc.apply(variables, y, y_hat, False)
-            return out, spectral
-        return scale_disc.apply({"params": params}, y, y_hat), None
+            return _to_f32(out), spectral
+        return _to_f32(scale_disc.apply({"params": params}, y, y_hat)), None
 
-    def gen_forward(gen_params, mel, aux_input):
+    def gen_forward(gen_params, mel, aux_input, mixed=False):
         # joint: 'mel' is already the input spectrum for BSRNN_24k
+        if mixed:
+            gen_params = _to_compute(gen_params)
+            mel, aux_input = _to_compute((mel, aux_input))
         if domain == "tf" and aux_input is not None:
-            return generator.apply({"params": gen_params}, mel, aux_input)
-        return generator.apply({"params": gen_params}, mel)
+            out = generator.apply({"params": gen_params}, mel, aux_input)
+        else:
+            out = generator.apply({"params": gen_params}, mel)
+        return _to_f32(out) if mixed else out
 
     tf_like = domain in ("tf", "joint")
 
@@ -195,7 +228,8 @@ def make_train_step(h, generator, domain: str, mesh=None,
         gen_aux = None if domain == "joint" else aux_input
 
         # --- generator forward once, VJP saved for the G update
-        outs, gen_vjp = jax.vjp(lambda p: gen_forward(p, mel, gen_aux), gen_state.params)
+        outs, gen_vjp = jax.vjp(
+            lambda p: gen_forward(p, mel, gen_aux, mixed=True), gen_state.params)
         if tf_like:
             logamp_g, pha_g, rea_g, imag_g, y_g = outs
         else:
@@ -208,7 +242,7 @@ def make_train_step(h, generator, domain: str, mesh=None,
 
         # --- discriminator update (reference train_tf_wi_inv.py:190-205)
         def disc_loss(params):
-            r_f, g_f, _, _ = mpd.apply({"params": params["mpd"]}, y_c, y_g_det)
+            r_f, g_f, _, _ = mpd_apply(params["mpd"], y_c, y_g_det)
             loss_f, _, _ = d_loss_fn(r_f, g_f)
             (r_s, g_s, _, _), new_spec = scale_apply(
                 params["scale"], disc_state.spectral, y_c, y_g_det, update_stats=True
@@ -249,7 +283,7 @@ def make_train_step(h, generator, domain: str, mesh=None,
             L_Mel = jnp.mean(jnp.abs(meloss - y_g_mel))
             metrics["Mel"] = L_Mel
 
-            r_f, g_f, fr_f, fg_f = mpd.apply({"params": disc_state.params["mpd"]}, y_c, y_gc)
+            r_f, g_f, fr_f, fg_f = mpd_apply(disc_state.params["mpd"], y_c, y_gc)
             (r_s, g_s, fr_s, fg_s), _ = scale_apply(
                 disc_state.params["scale"], disc_state.spectral, y_c, y_gc,
                 update_stats=False,
@@ -286,6 +320,15 @@ def make_train_step(h, generator, domain: str, mesh=None,
             metrics.update(IP=ip, GD=gd, PTD=ptd)
             metrics["R"] = jnp.mean(jnp.abs(rea - rea_g))
             metrics["I"] = jnp.mean(jnp.abs(imag - imag_g))
+            # STFT-consistency, the 8th reference validation aggregate
+            # (train_tf_wi_inv.py:338-356)
+            Tc = min(int(y_g.shape[-1]), int(audio.shape[-1]))
+            _, _, rea_gf, imag_gf = amp_pha_spectrum(
+                y_g[..., :Tc], h.n_fft, h.hop_size, h.win_size)
+            Tf = min(int(rea_g.shape[-1]), int(rea_gf.shape[-1]))
+            metrics["C"] = stft_consistency_loss(
+                rea_g[..., :Tf], rea_gf[..., :Tf],
+                imag_g[..., :Tf], imag_gf[..., :Tf])
         else:
             y_g = outs
         y_min = min(int(y_g.shape[-1]), int(audio.shape[-1]))

@@ -16,3 +16,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# persistent compile cache for the test suite: the model tests are
+# compile-dominated (~minutes of XLA:CPU work that is identical across
+# runs on the same machine). Scoped to tests only — the library gates
+# its auto-cache to accelerator platforms because CPU AOT artifacts
+# don't transfer between machines, which is irrelevant for a local
+# cache directory.
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass

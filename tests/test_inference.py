@@ -69,3 +69,44 @@ def test_engine_bf16_mode(wavs, tmp_path):
     wav = engine.synthesize_mel(mel, out_len=5000)
     assert wav.dtype == np.float32
     assert np.isfinite(wav).all()
+
+
+def test_streaming_decode_matches_full_for_causal_bsrnn(tmp_path):
+    """Causal BSRNN: chunked decode with left context reproduces the
+    full-utterance decode away from window edges; one compiled shape."""
+    h = AttrDict(dict(
+        model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0,
+        causal=True, sampling_rate=22050, n_fft=1024, hop_size=256,
+        win_size=1024, num_mels=80, fmin=0, fmax=8000, segment_size=2048,
+        test_output_dir=str(tmp_path / "out"), test_mel_load=0,
+    ))
+    engine = InferenceEngine(h, bucket_frames=32)
+    rng = np.random.default_rng(0)
+    T = 96
+    mel = jnp.asarray(rng.standard_normal((1, 80, T)).astype(np.float32) - 4.0)
+
+    # a T-frame iSTFT yields (T-1)*hop samples; compare on that length
+    out_len = (T - 1) * 256
+    full = np.asarray(engine.synthesize_mel(mel, out_len=out_len))
+    stream = engine.synthesize_streaming(mel, out_len=out_len,
+                                         chunk_frames=32, context_frames=24)
+    assert stream.shape == full.shape
+    # compare away from the global edges (iSTFT boundary taper) on the
+    # middle chunk, where 24 frames of causal context have converged
+    a = full[0, 32 * 256: 64 * 256]
+    b = stream[0, 32 * 256: 64 * 256]
+    err = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    assert err < 0.15, err
+    # exactly one compiled window shape used for streaming
+    assert (32 + 2 * 24) in engine._fns
+
+
+def test_run_inference_stream_flag(wavs, tmp_path):
+    h = _h(tmp_path, wavs)
+    h["stream"] = 1
+    h["stream_chunk_frames"] = 16
+    h["stream_context_frames"] = 8
+    stats = run_inference(h, log_fn=lambda s: None)
+    assert stats["files"] == 2
+    y = load_wav(os.path.join(h.test_output_dir, "u0.wav"), 22050)
+    assert len(y) == 5000

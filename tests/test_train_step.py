@@ -96,3 +96,28 @@ def test_eval_step():
     y_g, metrics = tr.fns.eval_step(tr.gen_state, audio)
     assert y_g.shape == (1, 2048)
     assert np.isfinite(float(metrics["Mel"]))
+
+
+def test_bf16_mixed_precision_step():
+    """compute_dtype=bfloat16: step runs, losses finite and close to the
+    f32 step's, params/optimizer state stay f32 master weights."""
+    h = _h(model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0,
+           causal=True, segment_size=1024, compute_dtype="bfloat16")
+    example = jnp.zeros((2, 80, h.segment_size // 256 + 1))
+    gen, domain = build_generator(h)
+    tr = GANTrainer(h, gen, domain, jax.random.PRNGKey(0), steps_per_epoch=10,
+                    example_input=example)
+    audio = _audio(2, h.segment_size)
+    m_bf = tr.step(audio)
+    assert np.isfinite(float(m_bf["G"])) and np.isfinite(float(m_bf["D"]))
+    for leaf in jax.tree.leaves(tr.gen_state.params):
+        assert leaf.dtype == jnp.float32
+
+    h32 = _h(model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0,
+             causal=True, segment_size=1024)
+    tr32 = GANTrainer(h32, gen, domain, jax.random.PRNGKey(0),
+                      steps_per_epoch=10, example_input=example)
+    m_f32 = tr32.step(audio)
+    # bf16 trunk vs f32 trunk: same batch, loss within a few percent
+    rel = abs(float(m_bf["G"]) - float(m_f32["G"])) / abs(float(m_f32["G"]))
+    assert rel < 0.05, (float(m_bf["G"]), float(m_f32["G"]))
