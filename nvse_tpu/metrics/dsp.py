@@ -126,7 +126,10 @@ def stoi(ref: np.ndarray, deg: np.ndarray, sr: int, extended: bool = False) -> f
             yr = (yn - yn.mean(1, keepdims=True))
             xr /= np.linalg.norm(xr, axis=1, keepdims=True) + 1e-12
             yr /= np.linalg.norm(yr, axis=1, keepdims=True) + 1e-12
-            vals.append(np.sum(xr * yr) / _STOI_NBANDS)
+            # each of the N time rows is unit-norm over bands, so the
+            # segment intelligibility is the mean of N row correlations
+            # (Jensen & Taal 2016 eq. 4; pystoi divides by N, not J)
+            vals.append(np.sum(xr * yr) / _STOI_N)
         else:
             alpha = np.linalg.norm(xseg, axis=0) / (np.linalg.norm(yseg, axis=0) + 1e-12)
             yprime = yseg * alpha

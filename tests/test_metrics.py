@@ -42,7 +42,13 @@ def test_stoi_identity_and_ordering():
     s_noisy = stoi(x, noisy, SR)
     assert 0.1 < s_noisy < s_self
     e_self = estoi(x, x, SR)
-    assert e_self > 0.95
+    assert 0.95 < e_self <= 1.0 + 1e-9  # bounded correlation mean
+    e_noisy = estoi(x, noisy, SR)
+    assert -1.0 <= e_noisy < e_self
+    # heavy degradation must score clearly below light degradation
+    very_noisy = x + 0.5 * RNG.standard_normal(len(x)).astype(np.float32)
+    assert estoi(x, very_noisy, SR) < e_noisy
+    assert stoi(x, very_noisy, SR) < s_noisy
 
 
 def test_mcd_identity_and_ordering():
