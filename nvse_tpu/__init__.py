@@ -29,13 +29,28 @@ Package layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# NVSE_PLATFORM=cpu forces the CPU backend for any CLI. The axon TPU
+# tunnel's sitecustomize overrides the JAX_PLATFORMS env var, so the
+# only reliable switch is jax.config before first backend use — which
+# importing this package guarantees for every entry point.
+_platform = _os.environ.get("NVSE_PLATFORM")
+if _platform:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _platform)
+    except Exception:
+        pass
+
 # Persistent XLA compilation cache: first TPU compiles through the
 # remote tunnel take minutes; cached reruns are instant. Opt out with
 # NVSE_NO_COMPILE_CACHE=1.
-import os as _os
 
 if (not _os.environ.get("NVSE_NO_COMPILE_CACHE")
-        and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")):
+        and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")
+        and _platform != "cpu"):
     # TPU-only: cached CPU AOT artifacts are machine-feature-specific
     # (XLA warns they can SIGILL across hosts); CPU compiles are cheap
     # anyway, so the cache is enabled only for accelerator platforms

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Fleet benchmark: mel->wav synthesis RTF for every model family.
+
+Reproducible artifact behind the README performance table: runs the
+same measurement as bench.py (batched synthesis, compile excluded,
+sync via scalar transfer) across all shipped configs and writes
+BENCH_FLEET.json.
+
+    python scripts/bench_fleet.py [--out BENCH_FLEET.json] [--iters 10]
+        [--models BSRNN,HiFiGAN,...]
+
+Weights are random — synthesis throughput is weight-independent.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+CONFIGS = {
+    "HiFiGAN": "hifigan_v1_config.json",
+    "iSTFTNet": "istftnet_config.json",
+    "APNet": "apnet_config.json",
+    "APNet2": "apnet2_config.json",
+    "FreeV": "freeV_config.json",
+    "BSRNN": "bsrnn_config.json",
+    "GCRN": "gcrn_config.json",
+    "ConvTasNet": "convtasnet_config.json",
+    "HDDemucas": "hddemucas_config.json",
+    "Vocos": "vocos_config.json",
+}
+
+
+def bench_model(name: str, cfg_name: str, iters: int, B: int, T: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from nvse_tpu.models import build_generator
+    from nvse_tpu.utils import load_config
+
+    h = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                 "nvse_tpu", "configs", cfg_name))
+    gen, domain = build_generator(h)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((B, h.num_mels, T)).astype(np.float32) - 4.0)
+    params = gen.init(jax.random.PRNGKey(0), mel[:1, :, :16])["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    @jax.jit
+    def synth(params, mel):
+        out = gen.apply({"params": params}, mel)
+        out = out[-1] if isinstance(out, tuple) else out
+        return jnp.sum(out)
+
+    t_c0 = time.time()
+    float(synth(params, mel))  # compile + warmup (scalar transfer = sync)
+    compile_sec = time.time() - t_c0
+
+    t0 = time.time()
+    s = 0.0
+    for _ in range(iters):
+        s = synth(params, mel)
+    float(s)
+    wall = time.time() - t0
+
+    audio_sec = iters * B * (T - 1) * h.hop_size / h.sampling_rate
+    return {
+        "model": name,
+        "domain": domain,
+        "params_m": round(n_params / 1e6, 2),
+        "rtf": round(audio_sec / wall, 2),
+        "batch": B,
+        "frames": T,
+        "iters": iters,
+        "compile_sec": round(compile_sec, 1),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..",
+                                                 "BENCH_FLEET.json"))
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--frames", type=int, default=1024)
+    p.add_argument("--models", default=None,
+                   help="comma-separated subset (default: all)")
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    names = args.models.split(",") if args.models else list(CONFIGS)
+    rows = []
+    for name in names:
+        try:
+            row = bench_model(name, CONFIGS[name], args.iters, args.batch,
+                              args.frames)
+            print(json.dumps(row))
+            rows.append(row)
+        except Exception as e:  # keep sweeping; record the failure
+            print(json.dumps({"model": name, "error": str(e)[:200]}))
+            rows.append({"model": name, "error": str(e)[:200]})
+
+    record = {
+        "device": str(jax.devices()[0]),
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "results": rows,
+    }
+    json.dump(record, open(args.out, "w"), indent=2)
+    print(f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
