@@ -48,10 +48,40 @@ def _rotate(path: str, prefix: str, keep: int) -> None:
             f.write(os.path.basename(p) + "\n")
 
 
+# Async machinery: one long-lived AsyncCheckpointer per prefix (orbax
+# serializes saves per checkpointer; two lets g_/do_ overlap their disk
+# writes). Device->host copies happen synchronously inside save();
+# serialization + fsync run on orbax's background thread, so the train
+# loop only ever blocks on the *previous* save having finished.
+_ASYNC_CKPTRS: list = []
+_PENDING_ROTATE: tuple | None = None
+
+
+def _async_ckptrs():
+    global _ASYNC_CKPTRS
+    if not _ASYNC_CKPTRS:
+        _ASYNC_CKPTRS = [ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+                         for _ in range(2)]
+    return _ASYNC_CKPTRS
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async save commits, then run its
+    deferred keep-N rotation. Call before process exit / restore."""
+    global _PENDING_ROTATE
+    for c in _ASYNC_CKPTRS:
+        c.wait_until_finished()
+    if _PENDING_ROTATE is not None:
+        path, keep = _PENDING_ROTATE
+        _PENDING_ROTATE = None
+        _rotate(path, "g_", keep)
+        _rotate(path, "do_", keep)
+
+
 def save_checkpoint(path: str, step: int, epoch: int, gen_state, disc_state,
-                    max_to_keep: int = 5) -> None:
+                    max_to_keep: int = 5, async_save: bool = False) -> None:
+    global _PENDING_ROTATE
     os.makedirs(path, exist_ok=True)
-    ckptr = ocp.PyTreeCheckpointer()
     g = {"generator": gen_state.params}
     do = {
         "disc_params": disc_state.params,
@@ -62,9 +92,21 @@ def save_checkpoint(path: str, step: int, epoch: int, gen_state, disc_state,
         "epoch": epoch,
     }
     gdir, ddir = _ckpt_dir(path, "g_", step), _ckpt_dir(path, "do_", step)
+    if async_save:
+        # ensure the previous save committed (and rotate it) before
+        # overwriting target dirs for this one
+        wait_for_checkpoints()
     for d in (gdir, ddir):
         if os.path.exists(d):
             shutil.rmtree(d)
+    if async_save:
+        cg, cd = _async_ckptrs()
+        cg.save(os.path.abspath(gdir), g)
+        cd.save(os.path.abspath(ddir), do)
+        if max_to_keep:
+            _PENDING_ROTATE = (path, max_to_keep)
+        return
+    ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.abspath(gdir), g)
     ckptr.save(os.path.abspath(ddir), do)
     if max_to_keep:
@@ -76,6 +118,7 @@ def restore_checkpoint(path: str, gen_state, disc_state):
     """Resume from the newest g_/do_ pair; returns
     (gen_state, disc_state, step, epoch) — untouched states and step 0
     if no checkpoint exists (train_tf_wi_inv.py:65-93)."""
+    wait_for_checkpoints()  # same-process save->restore (tests, eval-after-train)
     cp_g, cp_do = scan_checkpoint(path, "g_"), scan_checkpoint(path, "do_")
     if cp_g is None or cp_do is None:
         return gen_state, disc_state, 0, -1
@@ -102,6 +145,7 @@ def restore_checkpoint(path: str, gen_state, disc_state):
 def load_generator_params(ckpt_path: str, params_template):
     """Load generator params from an explicit g_* bundle path
     (h.checkpoint_file_load, infers/inference_bsrnn.py:44)."""
+    wait_for_checkpoints()
     ckptr = ocp.PyTreeCheckpointer()
     out = ckptr.restore(os.path.abspath(ckpt_path), item={"generator": params_template})
     return out["generator"]

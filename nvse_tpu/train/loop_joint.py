@@ -19,7 +19,7 @@ from ..data.joint_dataset import JointDataset, PrefetchJointLoader, get_joint_fi
 from ..models import build_generator
 from ..parallel import get_mesh, shard_batch
 from ..utils import build_env
-from .checkpoint import restore_checkpoint, save_checkpoint
+from .checkpoint import restore_checkpoint, save_checkpoint, wait_for_checkpoints
 from .trainer import create_states, make_train_step
 
 
@@ -139,7 +139,8 @@ def train_joint(h, log_fn=print) -> None:
                        + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())))
             if steps % h.checkpoint_interval == 0 and steps != 0:
                 save_checkpoint(h.checkpoint_path, steps, epoch, gen_state,
-                                disc_state, max_to_keep=h.max_to_keep)
+                                disc_state, max_to_keep=h.max_to_keep,
+                                async_save=bool(h.get("async_checkpoint", True)))
             if sw is not None and steps % h.summary_interval == 0:
                 for k, v in metrics.items():
                     sw.add_scalar(f"training/{task}/{k}", float(v), steps)
@@ -148,8 +149,10 @@ def train_joint(h, log_fn=print) -> None:
 
             steps += 1
             if steps > h.training_steps:
+                wait_for_checkpoints()  # commit in-flight async save first
                 save_checkpoint(h.checkpoint_path, steps - 1, epoch, gen_state,
                                 disc_state, max_to_keep=h.max_to_keep)
                 log_fn("training finished (step budget reached)")
                 return
         log_fn(f"epoch {epoch + 1} took {int(time.time() - t0)}s")
+    wait_for_checkpoints()  # commit any in-flight async save before exit

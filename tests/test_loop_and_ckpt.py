@@ -129,6 +129,36 @@ def test_checkpoint_save_restore_rotation(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_async_save_restore(tmp_path):
+    """Async saves commit on wait and roundtrip identically to sync ones."""
+    from nvse_tpu.train.checkpoint import wait_for_checkpoints
+
+    h = AttrDict(dict(
+        model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0,
+        causal=False, sampling_rate=22050, n_fft=1024, hop_size=256,
+        win_size=1024, num_mels=80, fmin=0, fmax=8000, segment_size=2048,
+        learning_rate=2e-4, adam_b1=0.8, adam_b2=0.99, lr_decay=0.999,
+        mrd_weight=0.1, mpd_reshapes=[2, 3, 5, 7, 11],
+    ))
+    gen, domain = build_generator(h)
+    example = jnp.zeros((1, 80, 9))
+    gs, ds = create_states(h, gen, domain, jax.random.PRNGKey(0), 10, example)
+    path = str(tmp_path / "ck")
+    for step in (5, 10, 15):
+        save_checkpoint(path, step, 0, gs, ds, max_to_keep=2, async_save=True)
+    wait_for_checkpoints()
+    import glob
+    assert len(glob.glob(os.path.join(path, "g_0*"))) == 2  # rotation ran
+    assert scan_checkpoint(path, "g_").endswith("g_00000015")
+    assert os.path.exists(os.path.join(path, "checkpoint_g"))
+
+    gs2, ds2 = create_states(h, gen, domain, jax.random.PRNGKey(1), 10, example)
+    gs3, ds3, steps, epoch = restore_checkpoint(path, gs2, ds2)
+    assert steps == 16
+    for a, b in zip(jax.tree.leaves(gs.params), jax.tree.leaves(gs3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_native_loader_path(wav_env):
     """Native C++ batch assembly (if built) matches shapes and content domain."""
     from nvse_tpu.data import native as native_mod
