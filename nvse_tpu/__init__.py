@@ -57,6 +57,10 @@ if (not _os.environ.get("NVSE_NO_COMPILE_CACHE")
     try:
         import jax as _jax
 
+        # also honor a CPU platform forced via jax.config (conftest,
+        # ad-hoc scripts) — CPU AOT cache artifacts are machine-specific
+        if "cpu" in (_jax.config.jax_platforms or ""):
+            raise RuntimeError("cpu platform — skip compile cache")
         _cache = _os.environ.get(
             "NVSE_COMPILE_CACHE",
             _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),

@@ -61,6 +61,32 @@ def _uinit(bound):
     return init
 
 
+def _sp_constrain(x: jnp.ndarray, axis: str | None, dim: int) -> jnp.ndarray:
+    """Sequence-parallel sharding hint: shard `dim` of x over mesh axis
+    `axis`, leave the batch dim unconstrained (it may be data-sharded),
+    replicate the rest. No-op when axis is None (single-device / pure DP).
+
+    The dual-path trunk alternates which axis is a pure batch axis: the
+    time-direction LSTM is independent per band and the band-direction
+    LSTM independent per frame, so constraining bands before the time
+    pass and frames before the band pass makes each scan fully local;
+    GSPMD materializes the switch as one all-to-all at the transpose.
+    """
+    if axis is None:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    # Outside a mesh context (param init, single-device apply) the hint
+    # is meaningless — and bare PartitionSpecs would fail to resolve.
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty or axis not in mesh.axis_names:
+        return x
+    spec = [None] * x.ndim
+    spec[0] = P.UNCONSTRAINED
+    spec[dim] = axis
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 class _GroupedBandEncoder(nn.Module):
     """Per-band LayerNorm(bw) + Linear(bw->C), batched per width group.
 
@@ -151,12 +177,15 @@ class BSNet(nn.Module):
 
     feature_dim: int
     causal: bool = False
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, nband, T, C)
+        x = _sp_constrain(x, self.sp_axis, 1)     # bands local to each shard
         x = ResRNN(self.feature_dim, self.feature_dim, causal=self.causal)(x)
         x = jnp.swapaxes(x, 1, 2)                 # (B, T, nband, C)
+        x = _sp_constrain(x, self.sp_axis, 1)     # frames local (all-to-all)
         x = ResRNN(self.feature_dim, self.feature_dim, causal=False)(x)
         x = jnp.swapaxes(x, 1, 2)
         return LayerNorm(self.feature_dim)(x)
@@ -177,14 +206,18 @@ class BSRNNCore(nn.Module):
     feature_dim: int = 128
     num_repeat: int = 8
     causal: bool = False
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, log_spec: jnp.ndarray):
         widths = tuple(band_plan(self.sampling_rate, self.n_fft))
         feats = _GroupedBandEncoder(widths, self.feature_dim)(log_spec)
         for _ in range(self.num_repeat):
-            feats = BSNet(self.feature_dim, causal=self.causal)(feats)
+            feats = BSNet(self.feature_dim, causal=self.causal,
+                          sp_axis=self.sp_axis)(feats)
 
+        # decoders are per-band einsums — band-sharded is fully local
+        feats = _sp_constrain(feats, self.sp_axis, 1)
         mag_groups = _GroupedBandDecoder(widths, self.feature_dim, out_mult=1)(feats)
         pha_groups = _GroupedBandDecoder(widths, self.feature_dim, out_mult=2)(feats)
 
@@ -223,6 +256,7 @@ class BSRNN(nn.Module):
     feature_dim: int = 128
     num_repeat: int = 8
     causal: bool = False
+    sp_axis: str | None = None
 
     @classmethod
     def from_config(cls, h) -> "BSRNN":
@@ -230,6 +264,7 @@ class BSRNN(nn.Module):
             sampling_rate=h.sampling_rate, n_fft=h.n_fft, hop_size=h.hop_size,
             win_size=h.win_size, num_mels=h.num_mels, fmin=h.fmin, fmax=h.fmax,
             feature_dim=h.feature_dim, num_repeat=h.num_repeat, causal=h.causal,
+            sp_axis=h.get("sp_axis"),
         )
 
     @nn.compact
@@ -245,7 +280,7 @@ class BSRNN(nn.Module):
         log_spec = jnp.log(inv_amp)
         return BSRNNCore(
             self.sampling_rate, self.n_fft, self.hop_size, self.win_size,
-            self.feature_dim, self.num_repeat, self.causal,
+            self.feature_dim, self.num_repeat, self.causal, self.sp_axis,
         )(log_spec)
 
 
@@ -264,18 +299,19 @@ class BSRNN_24k(nn.Module):
     feature_dim: int = 128
     num_repeat: int = 8
     causal: bool = False
+    sp_axis: str | None = None
 
     @classmethod
     def from_config(cls, h) -> "BSRNN_24k":
         return cls(
             sampling_rate=h.sampling_rate, n_fft=h.n_fft, hop_size=h.hop_size,
             win_size=h.win_size, feature_dim=h.feature_dim,
-            num_repeat=h.num_repeat, causal=h.causal,
+            num_repeat=h.num_repeat, causal=h.causal, sp_axis=h.get("sp_axis"),
         )
 
     @nn.compact
     def __call__(self, log_spec: jnp.ndarray):
         return BSRNNCore(
             self.sampling_rate, self.n_fft, self.hop_size, self.win_size,
-            self.feature_dim, self.num_repeat, self.causal,
+            self.feature_dim, self.num_repeat, self.causal, self.sp_axis,
         )(log_spec)

@@ -1,1 +1,8 @@
-from .mesh import get_mesh, batch_sharding, replicated_sharding, shard_batch
+from .mesh import (
+    DATA_AXIS,
+    SEQ_AXIS,
+    batch_sharding,
+    get_mesh,
+    replicated_sharding,
+    shard_batch,
+)

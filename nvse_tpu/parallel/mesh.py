@@ -17,12 +17,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 
 
-def get_mesh(n_devices: int | None = None, global_: bool = False) -> Mesh:
+def get_mesh(n_devices: int | None = None, global_: bool = False,
+             n_seq: int = 1) -> Mesh:
+    """1-D data mesh, or a 2-D (data, seq) mesh when n_seq > 1.
+
+    The 'seq' axis carries sequence parallelism for the dual-path RNN
+    models (BSRNN): bands are sharded during the time-direction LSTM and
+    time frames during the band-direction LSTM — both are pure batch
+    axes for the respective scan — and GSPMD inserts the all-to-all at
+    the transposition between the two (models/bsrnn.py sp_axis).
+    Devices along 'seq' are mesh-minor so the all-to-all rides
+    nearest-neighbour ICI links.
+    """
     devs = jax.devices() if global_ else jax.local_devices()
     if n_devices is not None:
         devs = devs[:n_devices]
+    if n_seq > 1:
+        if len(devs) % n_seq:
+            raise ValueError(f"{len(devs)} devices not divisible by n_seq={n_seq}")
+        return Mesh(np.array(devs).reshape(-1, n_seq), (DATA_AXIS, SEQ_AXIS))
     return Mesh(np.array(devs), (DATA_AXIS,))
 
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..data import PrefetchLoader, SegmentDataset, get_dataset_filelist
 from ..models import build_generator
-from ..parallel import get_mesh, shard_batch
+from ..parallel import SEQ_AXIS, get_mesh, shard_batch
 from ..utils import build_env
 from .checkpoint import restore_checkpoint, save_checkpoint, wait_for_checkpoints
 from .trainer import create_states, make_train_step
@@ -82,25 +82,35 @@ def train(h, log_fn=print) -> None:
     """Run training for config h (the reference's train(h) entry)."""
     _setup_debug(h, log_fn)
     profiler = _StepProfiler(h, log_fn)
+
+    import math as _math
+
+    n_avail = len(jax.devices())
+    n_sp = max(1, int(h.get("sp_devices", 1)))
+    if n_sp > 1 and n_avail % n_sp:
+        log_fn(f"WARNING: sp_devices={n_sp} does not divide the {n_avail} "
+               "available devices; disabling sequence parallelism.")
+        n_sp = 1
+    # use as many devices as evenly divide the global batch
+    n_data = _math.gcd(int(h.batch_size), n_avail // n_sp)
+    n_dev = n_data * n_sp
+    if n_dev != n_avail:
+        log_fn(
+            f"WARNING: batch_size={h.batch_size} is not divisible by the "
+            f"{n_avail // n_sp} available data-parallel devices; training "
+            f"will use only {n_dev} device(s). Set batch_size to a multiple "
+            f"of {n_avail // n_sp} to use the full mesh."
+        )
+    if n_sp > 1:
+        # dual-path sequence parallelism (BSRNN): shard bands/frames over
+        # the 'seq' mesh axis in addition to batch over 'data'
+        h["sp_axis"] = SEQ_AXIS
+    mesh = get_mesh(n_dev, n_seq=n_sp) if n_dev > 1 else None
     generator, domain = build_generator(h)
 
     training_files, validation_files = get_dataset_filelist(
         h.input_training_wav_list, h.input_validation_wav_list, h.raw_wavfile_path
     )
-
-    import math as _math
-
-    n_avail = len(jax.devices())
-    # use as many devices as evenly divide the global batch
-    n_dev = _math.gcd(int(h.batch_size), n_avail)
-    if n_dev != n_avail:
-        log_fn(
-            f"WARNING: batch_size={h.batch_size} is not divisible by the "
-            f"{n_avail} available devices; training will use only {n_dev} "
-            f"device(s). Set batch_size to a multiple of {n_avail} to use "
-            "the full mesh."
-        )
-    mesh = get_mesh(n_dev) if n_dev > 1 else None
 
     # multi-host: each process loads its static shard of the filelist
     train_ds = SegmentDataset(training_files, h.segment_size, h.sampling_rate,

@@ -349,6 +349,19 @@ def make_train_step(h, generator, domain: str, mesh=None,
         )
         # validation runs batch-1 full utterances — replicate, don't shard
         eval_step = jax.jit(eval_step, in_shardings=(repl, repl, None))
+
+        # Enter the mesh context around invocation: models with internal
+        # with_sharding_constraint hints (bare PartitionSpecs, e.g. the
+        # BSRNN sp_axis sequence-parallel path) need the mesh in scope
+        # when the step is first traced.
+        def _in_mesh(f):
+            def call(*args):
+                with jax.set_mesh(mesh):
+                    return f(*args)
+            return call
+
+        train_step = _in_mesh(train_step)
+        eval_step = _in_mesh(eval_step)
     else:
         train_step = jax.jit(train_step, donate_argnums=(0, 1))
         eval_step = jax.jit(eval_step)

@@ -86,6 +86,28 @@ def test_data_parallel_step_over_mesh():
     assert np.isfinite(float(metrics["D"]))
 
 
+def test_sequence_parallel_step_matches_data_parallel():
+    """dp×sp 2-D mesh (4 data × 2 seq): the BSRNN dual-path trunk shards
+    bands during the time-LSTM and frames during the band-LSTM (GSPMD
+    all-to-all at the transpose); losses must match the pure-DP step."""
+    base = dict(model_name="BSRNN", feature_dim=16, num_repeat=1,
+                dropout=0.0, causal=False, batch_size=8)
+    audio_np = _audio(8, 2048)
+    example = jnp.zeros((8, 80, 9))
+    results = {}
+    for label, n_seq, sp in (("dp", 1, None), ("dp_x_sp", 2, "seq")):
+        h = _h(**base, sp_axis=sp)
+        mesh = get_mesh(8, n_seq=n_seq)
+        gen, domain = build_generator(h)
+        tr = GANTrainer(h, gen, domain, jax.random.PRNGKey(0),
+                        steps_per_epoch=10, example_input=example, mesh=mesh)
+        metrics = tr.step(shard_batch(audio_np, mesh))
+        results[label] = (float(metrics["G"]), float(metrics["D"]))
+    (g0, d0), (g1, d1) = results["dp"], results["dp_x_sp"]
+    np.testing.assert_allclose(g1, g0, rtol=1e-3)
+    np.testing.assert_allclose(d1, d0, rtol=1e-3)
+
+
 def test_eval_step():
     h = _h(model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0, causal=False)
     gen, domain = build_generator(h)
