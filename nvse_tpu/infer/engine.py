@@ -56,6 +56,11 @@ class InferenceEngine:
                 )
             else:
                 self.params = template  # random init (benchmarks / smoke)
+        # Pin params on device once: checkpoint restore yields host
+        # arrays, and passing those to a jitted fn re-uploads the whole
+        # tree on EVERY call (~40MB/call for BSRNN-M — dominates
+        # per-file decode latency through the remote-TPU tunnel).
+        self.params = jax.device_put(self.params)
 
     def _fn(self, T: int):
         if T not in self._fns:

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark the full GAN train step (BSRNN-M flagship) at production
+shapes: batch 16, segment 16384 (T=65 frames), MPD+MRD discriminators,
+two optimizers, on-device features — the same step train_tf_wi_inv.py
+runs. Reports ms/step for f32 and bf16 compute (f32 master weights).
+
+    python scripts/bench_train_step.py [--iters 20] [--dtypes float32,bfloat16]
+
+Sync via scalar transfer (block_until_ready is a no-op through the
+axon tunnel). Appends one JSON line per dtype.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def bench(compute_dtype: str, iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from nvse_tpu.models import build_generator
+    from nvse_tpu.train import GANTrainer
+    from nvse_tpu.utils import load_config
+
+    h = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                 "nvse_tpu", "configs", "bsrnn_config.json"))
+    h["compute_dtype"] = compute_dtype
+    gen, domain = build_generator(h)
+    B, S = int(h.batch_size), int(h.segment_size)
+    example = jnp.zeros((B, h.num_mels, S // h.hop_size + 1))
+    tr = GANTrainer(h, gen, domain, jax.random.PRNGKey(0), steps_per_epoch=100,
+                    example_input=example)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray((0.1 * rng.standard_normal((B, S))).astype(np.float32))
+
+    t0 = time.time()
+    m = tr.step(audio)  # compile + first step
+    float(m["G"])
+    compile_sec = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(iters):
+        m = tr.step(audio)
+    g = float(m["G"])  # scalar transfer = sync
+    wall = time.time() - t0
+    return {
+        "metric": "bsrnn_m_gan_train_step_ms",
+        "compute_dtype": compute_dtype,
+        "value": round(1000.0 * wall / iters, 1),
+        "unit": "ms/step",
+        "batch": B,
+        "segment": S,
+        "iters": iters,
+        "compile_sec": round(compile_sec, 1),
+        "G": round(g, 3),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dtypes", default="float32,bfloat16")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+    rows = []
+    for dt in args.dtypes.split(","):
+        row = bench(dt, args.iters)
+        print(json.dumps(row))
+        rows.append(row)
+    if args.out:
+        with open(args.out, "a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()
