@@ -228,7 +228,12 @@ def stft_ri(
         # backward of gather-based framing is a scatter-add, which is
         # catastrophically slow on TPU and sits on the G-loss gradient
         # path through every mel / consistency / MRD spectrogram.
-        kernel = jnp.asarray(_rdft_basis_np(n_fft) * win[:, None])[:, None, :]
+        # kernel follows the input dtype: conv requires matching dtypes
+        # (unlike einsum, which promotes) and a bf16 input means the
+        # caller wants the bf16 MXU path (mixed-precision trunks).
+        kernel = (jnp.asarray(_rdft_basis_np(n_fft)) * win[:, None])[
+            :, None, :
+        ].astype(y.dtype)
         lead = y.shape[:-1]
         ri = jax.lax.conv_general_dilated(
             y.reshape(-1, y.shape[-1], 1), kernel,

@@ -183,3 +183,15 @@ def test_matmul_dft_path_matches_fft(monkeypatch):
     ref_wav = S.istft_ri(ref_re, ref_im, 1024, 256, 1024, window=hann_window(1024))
     got_wav = S.istft_ri(got_re, got_im, 1024, 256, 1024, window=hann_window(1024))
     np.testing.assert_allclose(np.asarray(got_wav), np.asarray(ref_wav), rtol=1e-4, atol=1e-4)
+
+    # bf16 input (mixed-precision discriminator trunks): the conv kernel
+    # must follow the input dtype — conv_general_dilated does not
+    # promote, so a f32 kernel raises on TPU. Values only loosely
+    # checked (bf16 has ~3 decimal digits).
+    y16 = y.astype(jnp.bfloat16)
+    b_re, b_im = S.stft_ri(y16, 512, 128, 512, window=None)
+    assert b_re.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(b_re, dtype=np.float32), np.asarray(rect_re),
+        rtol=0.1, atol=0.5,
+    )
