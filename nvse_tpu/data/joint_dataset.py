@@ -49,9 +49,16 @@ def get_joint_filelist(input_training_wav_list, input_validation_wav_list,
                 if not l.strip():
                     continue
                 name = l.strip().split("|")[0]
-                path = os.path.join(raw_wavfile_path, f"{name}.wav")
-                if path in actual:
-                    out.append(path)
+                # accept both scp styles: bare stem ("LJ001-0001", the
+                # joint reference format) and LJSpeech filelist entries
+                # ("DUMMY1/LJ001-0001.wav")
+                for cand in (
+                    os.path.join(raw_wavfile_path, f"{name}.wav"),
+                    os.path.join(raw_wavfile_path, os.path.basename(name)),
+                ):
+                    if cand in actual:
+                        out.append(cand)
+                        break
         return out
 
     return read(input_training_wav_list), read(input_validation_wav_list), train_noise, val_noise

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import load_wav, write_wav
-from ..models import build_generator
+from ..models import build_generator, model_input_bins
 from ..ops import mel_spectrogram
 from ..train.checkpoint import load_generator_params, scan_checkpoint
 
@@ -44,7 +44,7 @@ class InferenceEngine:
     def __post_init__(self):
         self.generator, self.domain = build_generator(self.h)
         if self.params is None:
-            example = jnp.zeros((1, self.h.num_mels, 16), jnp.float32)
+            example = jnp.zeros((1, model_input_bins(self.h), 16), jnp.float32)
             variables = self.generator.init(jax.random.PRNGKey(0), example)
             template = variables["params"]
             ckpt = self.h.get("checkpoint_file_load")
@@ -146,7 +146,7 @@ class InferenceEngine:
         Tb = T if exact else _bucket(T, self.bucket_frames)
         if Tb in self._warmed:
             return
-        mel = jnp.full((1, self.h.num_mels, Tb), float(np.log(1e-5)))
+        mel = jnp.full((1, model_input_bins(self.h), Tb), float(np.log(1e-5)))
         # sync via host transfer, not block_until_ready: through the TPU
         # tunnel block_until_ready is a no-op and the compile+execute
         # would otherwise be deferred into the first timed np.asarray

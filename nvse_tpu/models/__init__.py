@@ -47,6 +47,14 @@ def model_domain(name: str) -> str:
     return _REGISTRY[name][1]
 
 
+def model_input_bins(h) -> int:
+    """Feature rows the generator consumes: mel bins for mel->wav
+    models; full one-sided spectrum bins for the log-spectrum models
+    (BSRNN_24k, whose input is a noisy log-amplitude or log
+    pseudo-inverse-mel spectrum — reference bsrnn_24k.py:79-100)."""
+    return h.n_fft // 2 + 1 if h.model_name == "BSRNN_24k" else h.num_mels
+
+
 def build_generator(h):
     """Construct the generator named by h.model_name from config h."""
     try:

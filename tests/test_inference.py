@@ -50,6 +50,32 @@ def test_engine_bucketing(wavs, tmp_path):
     assert len(engine._fns) <= 2
 
 
+def test_engine_log_spectrum_model(tmp_path):
+    """BSRNN_24k consumes a full (F=n_fft//2+1)-bin log-spectrum, not a
+    mel: the engine's init example and warmup shapes must follow
+    model_input_bins (the joint denoise/vocoder CLI path)."""
+    import jax.numpy as jnp
+
+    from nvse_tpu.ops import amp_pha_spectrum
+
+    h = AttrDict(dict(
+        model_name="BSRNN_24k", feature_dim=8, num_repeat=1, dropout=0.0,
+        causal=False, sampling_rate=24000, n_fft=1024, hop_size=256,
+        win_size=1024, num_mels=100, fmin=0, fmax=12000, segment_size=2048,
+        test_output_dir=str(tmp_path / "out"), test_mel_load=0,
+    ))
+    engine = InferenceEngine(h, bucket_frames=16)
+    sr = 24000
+    t = np.arange(6000) / sr
+    x = (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    spec = amp_pha_spectrum(jnp.asarray(x[None, :]), 1024, 256, 1024, eps=1e-5)[0]
+    assert spec.shape[1] == 513
+    engine.warmup(spec.shape[-1])
+    wav = engine.synthesize_mel(spec, out_len=6000)
+    assert wav.shape == (1, 6000)
+    assert np.all(np.isfinite(wav))
+
+
 def test_run_inference_writes_wavs_and_rtf(wavs, tmp_path):
     h = _h(tmp_path, wavs)
     stats = run_inference(h, log_fn=lambda s: None)

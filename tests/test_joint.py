@@ -55,6 +55,25 @@ def joint_files(tmp_path):
     return speech, noise
 
 
+def test_joint_filelist_accepts_both_scp_styles(joint_files, tmp_path):
+    """Bare stems (joint reference scp) AND LJSpeech 'DUMMY1/x.wav|text'
+    entries resolve to the same existing files."""
+    from nvse_tpu.data.joint_dataset import get_joint_filelist
+
+    speech, noise = joint_files
+    stems = tmp_path / "stems.txt"
+    stems.write_text("".join(f"sp{i}\n" for i in range(3)))
+    lj = tmp_path / "lj.txt"
+    lj.write_text("".join(f"DUMMY1/sp{i}.wav|utterance {i}\n" for i in range(3)))
+    nz = tmp_path / "noise.scp"
+    nz.write_text("".join(p + "\n" for p in noise))
+
+    tr1, _, tn, vn = get_joint_filelist(str(stems), str(stems), str(tmp_path), str(nz))
+    tr2, _, _, _ = get_joint_filelist(str(lj), str(lj), str(tmp_path), str(nz))
+    assert tr1 == tr2 and len(tr1) == 3
+    assert len(tn) + len(vn) == 2
+
+
 def test_joint_dataset_mixing(joint_files):
     speech, noise = joint_files
     ds = JointDataset(speech, noise, (-5, 15), segment_size=4096,
