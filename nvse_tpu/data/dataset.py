@@ -145,7 +145,10 @@ class PrefetchLoader:
                 paths = [self.dataset.files[int(i)] for i in idxs]
                 batch = self._native.batch_segments_native(
                     paths, self.dataset.segment_size,
-                    seed=self.seed * 1_000_003 + self.epoch * 131 + b,
+                    # unique per (epoch, batch): the epoch term must
+                    # out-stride the largest batch index or streams
+                    # repeat across epochs
+                    seed=(self.seed * 1_000_003 + self.epoch) * 1_000_003 + b,
                 )
                 if batch is not None:
                     return batch
@@ -157,7 +160,10 @@ class PrefetchLoader:
                     b, idxs = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                batch = make_batch(b, idxs)
+                try:
+                    batch = make_batch(b, idxs)
+                except BaseException as e:  # propagate: a dead worker
+                    batch = e               # must not hang the consumer
                 with lock:
                     results[b] = batch
                 out_q.put(b)
@@ -175,5 +181,8 @@ class PrefetchLoader:
                 with lock:
                     pending[b] = results.pop(b)
                 received += 1
-            yield pending.pop(next_b)
+            item = pending.pop(next_b)
+            if isinstance(item, BaseException):
+                raise item
+            yield item
             next_b += 1

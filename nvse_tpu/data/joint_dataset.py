@@ -221,8 +221,13 @@ class PrefetchJointLoader:
                 except queue.Empty:
                     slots.release()
                     return
-                batch = self.dataset.get_batch(
-                    b, seed=self.seed * 1_000_003 + epoch * 131 + b)
+                try:
+                    # epoch term must out-stride the largest batch index
+                    # or augmentation streams repeat across epochs
+                    batch = self.dataset.get_batch(
+                        b, seed=(self.seed * 1_000_003 + epoch) * 1_000_003 + b)
+                except BaseException as e:  # propagate: a dead worker
+                    batch = e               # must not hang the consumer
                 with ready:
                     results[b] = batch
                     ready.notify_all()
@@ -237,4 +242,6 @@ class PrefetchJointLoader:
                     ready.wait()
                 batch = results.pop(b)
             slots.release()
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch

@@ -46,34 +46,10 @@ def _score_chunk(args):
     return out
 
 
-def run_metric_cli(name: str, score_fn: Callable, default_sr: int = 16000,
-                   description: str = "") -> None:
-    p = argparse.ArgumentParser(description=description or name)
-    p.add_argument("--ref_dir", required=True)
-    p.add_argument("--deg_dir", required=True)
-    p.add_argument("--sr", type=int, default=default_sr)
-    p.add_argument("--jb", type=int, default=16, help="parallel jobs")
-    args = p.parse_args()
-
-    pairs = build_pair_map(args.ref_dir, args.deg_dir)
-    if not pairs:
-        raise SystemExit("no ref/deg pairs found")
-    chunks = [c for c in np.array_split(pairs, args.jb) if len(c)]
-    with mp.Pool(processes=len(chunks)) as pool:
-        results = pool.map(_score_chunk, [(score_fn, list(c), args.sr) for c in chunks])
-    scores = np.array([s for chunk in results for s in chunk], dtype=np.float64)
-    scores = scores[np.isfinite(scores)]
-    print(f"{name}: {len(scores)} pairs | mean {scores.mean():.4f} | std {scores.std():.4f}")
-
-
-def run_multi_metric_cli(outputs: dict, score_fn: Callable,
-                         default_sr: int = 16000, description: str = "") -> None:
-    """Like run_metric_cli but score_fn returns a dict per pair.
-
-    `outputs` maps result keys -> printed label; labels ending in '%'
-    are scaled x100 (the reference prints semitone ACC / VUV error as
-    percentages, evaluate_f0.py:389-396).
-    """
+def _score_pairs_pool(score_fn: Callable, default_sr: int,
+                      description: str) -> list:
+    """Shared CLI scaffolding: parse --ref_dir/--deg_dir/--sr/--jb,
+    build the pair map, score with a process pool, return flat results."""
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--ref_dir", required=True)
     p.add_argument("--deg_dir", required=True)
@@ -87,7 +63,26 @@ def run_multi_metric_cli(outputs: dict, score_fn: Callable,
     chunks = [c for c in np.array_split(pairs, args.jb) if len(c)]
     with mp.Pool(processes=len(chunks)) as pool:
         results = pool.map(_score_chunk, [(score_fn, list(c), args.sr) for c in chunks])
-    rows = [r for chunk in results for r in chunk]
+    return [r for chunk in results for r in chunk]
+
+
+def run_metric_cli(name: str, score_fn: Callable, default_sr: int = 16000,
+                   description: str = "") -> None:
+    scores = np.array(_score_pairs_pool(score_fn, default_sr, description or name),
+                      dtype=np.float64)
+    scores = scores[np.isfinite(scores)]
+    print(f"{name}: {len(scores)} pairs | mean {scores.mean():.4f} | std {scores.std():.4f}")
+
+
+def run_multi_metric_cli(outputs: dict, score_fn: Callable,
+                         default_sr: int = 16000, description: str = "") -> None:
+    """Like run_metric_cli but score_fn returns a dict per pair.
+
+    `outputs` maps result keys -> printed label; labels ending in '%'
+    are scaled x100 (the reference prints semitone ACC / VUV error as
+    percentages, evaluate_f0.py:389-396).
+    """
+    rows = _score_pairs_pool(score_fn, default_sr, description)
     print(f"{description or 'metrics'}: {len(rows)} pairs")
     for key, label in outputs.items():
         vals = np.array([r[key] for r in rows], dtype=np.float64)

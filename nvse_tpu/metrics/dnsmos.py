@@ -120,6 +120,13 @@ def score_dir(deg_dir: str, model_dir: str, csv_path: str | None = None,
     sub = "pDNSMOS" if is_personalized else "DNSMOS"
     primary_path = os.path.join(model_dir, sub, "sig_bak_ovr.onnx")
     if not os.path.exists(primary_path):
+        if is_personalized:
+            # falling back to the standard model while applying the
+            # personalized calibration polynomials would silently
+            # produce wrong pDNSMOS numbers
+            raise FileNotFoundError(
+                f"personalized DNSMOS requested but {primary_path} is "
+                "missing; provide the pDNSMOS model or drop -p")
         primary_path = os.path.join(model_dir, "sig_bak_ovr.onnx")
     p808_path = os.path.join(model_dir, "DNSMOS", "model_v8.onnx")
     if not os.path.exists(p808_path):

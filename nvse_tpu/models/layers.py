@@ -307,15 +307,20 @@ class SNConv1d(nn.Module):
         u_var = self.variable(
             "spectral", "u", lambda: jax.random.normal(self.make_rng("params"), (cout,))
         )
+        # power iteration always in f32 (norm estimates drift in bf16);
+        # sigma is cast back so a bf16 kernel stays bf16 — otherwise the
+        # f32 u state silently promoted the whole branch to f32 under
+        # mixed precision
+        w32 = w.astype(jnp.float32)
         u = u_var.value
-        v = w.T @ u
+        v = w32.T @ u
         v = v / (jnp.linalg.norm(v) + 1e-12)
-        u_new = w @ v
+        u_new = w32 @ v
         u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-        sigma = u_new @ w @ v
+        sigma = u_new @ w32 @ v
         if update_stats and not self.is_initializing():
             u_var.value = jax.lax.stop_gradient(u_new)
-        kernel = kernel / jax.lax.stop_gradient(sigma)
+        kernel = kernel / jax.lax.stop_gradient(sigma).astype(kernel.dtype)
 
         # lax.conv requires matching operand dtypes; under mixed
         # precision the input may arrive f32 (e.g. after f32 DSP ops)

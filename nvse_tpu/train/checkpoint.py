@@ -92,10 +92,10 @@ def save_checkpoint(path: str, step: int, epoch: int, gen_state, disc_state,
         "epoch": epoch,
     }
     gdir, ddir = _ckpt_dir(path, "g_", step), _ckpt_dir(path, "do_", step)
-    if async_save:
-        # ensure the previous save committed (and rotate it) before
-        # overwriting target dirs for this one
-        wait_for_checkpoints()
+    # ensure any previous async save committed (and rotate it) before
+    # touching target dirs — the sync path must wait too, or its
+    # _rotate below could delete a bundle still being written
+    wait_for_checkpoints()
     for d in (gdir, ddir):
         if os.path.exists(d):
             shutil.rmtree(d)
