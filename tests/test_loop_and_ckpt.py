@@ -129,6 +129,19 @@ def test_checkpoint_save_restore_rotation(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_loader_propagates_worker_errors(wav_env):
+    """A failing batch build must raise in the consumer, not hang the
+    training loop behind a silently dead worker thread."""
+    tmp_path, wav_dir, train_list, _ = wav_env
+    files, _ = get_dataset_filelist(train_list, train_list, wav_dir)
+    ds = SegmentDataset(files, 2048, 22050, seed=0)
+    ds.files = [f + ".missing" for f in ds.files]  # every load fails
+    loader = PrefetchLoader(ds, batch_size=2, num_workers=2, seed=0,
+                            use_native=False)
+    with pytest.raises(Exception):
+        next(iter(loader))
+
+
 def test_checkpoint_async_save_restore(tmp_path):
     """Async saves commit on wait and roundtrip identically to sync ones."""
     from nvse_tpu.train.checkpoint import wait_for_checkpoints
