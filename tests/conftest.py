@@ -26,6 +26,6 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 _cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
 try:
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
