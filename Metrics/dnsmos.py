@@ -24,9 +24,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--deg_dir", "-t", required=True,
                    help="dir of wav clips to be evaluated")
-    p.add_argument("--model_dir", default=os.path.dirname(__file__),
+    p.add_argument("--model_dir",
+                   default=os.path.join(os.path.dirname(__file__), "DNSMOS"),
                    help="dir containing DNSMOS/sig_bak_ovr.onnx, "
-                        "DNSMOS/model_v8.onnx (and pDNSMOS/ for -p)")
+                        "DNSMOS/model_v8.onnx (and pDNSMOS/ for -p) — "
+                        "defaults to Metrics/DNSMOS so the vendored "
+                        "Metrics/DNSMOS/DNSMOS/*.onnx layout resolves")
     p.add_argument("--csv_path", "-o", default=None,
                    help="write per-file results to this CSV")
     p.add_argument("--personalized_MOS", "-p", action="store_true",

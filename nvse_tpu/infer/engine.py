@@ -172,6 +172,18 @@ def run_inference(h, limit: int | None = None, log_fn=print,
     a single compiled window shape for any utterance length.
     """
     engine = InferenceEngine(h)
+    if model_input_bins(h) != h.num_mels and not h.get("test_mel_load"):
+        # BSRNN_24k-style models consume a log-magnitude spectrum
+        # (n_fft//2+1 bins), not a mel — feeding engine.mel_of() output
+        # would decode garbage and warm up a never-used shape. Those
+        # configs go through infers/inference_joint_denoise_vocoder_bsrnn
+        # (--processing_mode) or scripts/enhance_eval.py instead.
+        raise ValueError(
+            f"model expects {model_input_bins(h)} input bins but "
+            f"run_inference feeds {h.num_mels}-mel features; use the "
+            "joint inference CLI (--processing_mode denoise|vocoder) "
+            "for spectrum-input models"
+        )
     stream = stream or bool(h.get("stream"))
     chunk = int(h.get("stream_chunk_frames", 64))
     ctx = int(h.get("stream_context_frames", 16))

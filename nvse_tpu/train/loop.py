@@ -147,6 +147,7 @@ def train(h, log_fn=print) -> None:
         sw = None
 
     gt_logged = [False]
+    gt_added = [False]
 
     def validate(step: int) -> None:
         agg: dict[str, float] = {}
@@ -171,8 +172,9 @@ def train(h, log_fn=print) -> None:
                         # (reference train_tf_wi_inv.py:363-377)
                         gt = np.asarray(audio[0])
                         sw.add_audio(f"gt/y_{i}", gt[:, None], step, h.sampling_rate)
+                        gt_added[0] = True
                 except Exception:
-                    pass
+                    gt_added[0] = False
                 if i == 0:
                     try:  # mel figure like reference train_tf_wi_inv.py:363-394
                         from ..ops import mel_spectrogram
@@ -186,8 +188,12 @@ def train(h, log_fn=print) -> None:
                                 h.hop_size, h.win_size, h.fmin, h.sampling_rate / 2))[0]
                             sw.add_figure("gt/y_spec", _plot_spectrogram(mg), step)
                     except Exception:
-                        pass
-        gt_logged[0] = True
+                        gt_added[0] = False
+        # mark gt-logged only if the adds actually reached TensorBoard
+        # (sw present and no add_audio/add_figure raised) so a transient
+        # failure retries on the next validation pass
+        if sw is not None and gt_added[0]:
+            gt_logged[0] = True
         if count:
             for k, v in agg.items():
                 if sw is not None:

@@ -67,6 +67,10 @@ def train_joint(h, log_fn=print) -> None:
     gen_state, disc_state, steps, last_epoch = restore_checkpoint(
         h.checkpoint_path, gen_state, disc_state
     )
+    # Per-batch seeds are (seed, loader.epoch, index)-deterministic; on
+    # resume continue the augmentation/noise/task streams from the
+    # restored epoch instead of replaying epoch 0's.
+    loader.epoch = max(0, last_epoch)
 
     step_fns = {
         task: make_train_step(h, generator, domain, mesh=mesh, joint_task=task)
