@@ -1,3 +1,4 @@
 from .dsp import (estoi, evaluate_f0_metrics, f0_metrics, f0_rmse, lsd,
     mcd, mcd_dtw, periodicity_metrics, snr, stoi, yin_f0, yin_f0_conf)
 from .dtw import dtw_distance, dtw_path
+from .pesq import mnru, pesq_raw, pesq_wb

@@ -36,7 +36,7 @@ def main() -> None:
     from nvse_tpu.infer import run_inference
     from nvse_tpu.infer.engine import resolve_filelist
     from nvse_tpu.metrics import (estoi, evaluate_f0_metrics, lsd, mcd,
-                                  mcd_dtw, snr, stoi)
+                                  mcd_dtw, pesq_wb, snr, stoi)
     from nvse_tpu.utils import load_config
 
     h = load_config(args.cfg_filename)
@@ -59,6 +59,7 @@ def main() -> None:
         n = min(len(ref), len(deg))
         ref, deg = ref[:n], deg[:n]
         scores = {
+            "pesq": pesq_wb(ref, deg, sr),
             "lsd": lsd(ref, deg, sr),
             "stoi": stoi(ref, deg, sr),
             "estoi": estoi(ref, deg, sr),
