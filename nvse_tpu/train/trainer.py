@@ -94,14 +94,21 @@ def _build_discs(h, domain: str):
     else:
         scale_disc = MultiScaleDiscriminator()
         scale_weight = 1.0
-    return mpd, scale_disc, scale_weight
+    # opt-in third discriminator (reference defines it unused,
+    # Models/models.py:384-592; we wire it behind h.use_cqtd with its
+    # own loss weight h.cqtd_weight)
+    cqtd = None
+    if h.get("use_cqtd"):
+        from ..models.cqt_discriminator import MultiScaleSubbandCQTDiscriminator
+        cqtd = MultiScaleSubbandCQTDiscriminator.from_config(h)
+    return mpd, scale_disc, scale_weight, cqtd
 
 
 def create_states(h, generator, domain: str, rng, steps_per_epoch: int,
                   example_input: jnp.ndarray):
     """Initialise generator + discriminator TrainStates."""
-    mpd, scale_disc, _ = _build_discs(h, domain)
-    rng_g, rng_mpd, rng_s = jax.random.split(rng, 3)
+    mpd, scale_disc, _, cqtd = _build_discs(h, domain)
+    rng_g, rng_mpd, rng_s, rng_c = jax.random.split(rng, 4)
     gen_params = generator.init(rng_g, example_input)["params"]
 
     seg = int(h.segment_size)
@@ -109,6 +116,8 @@ def create_states(h, generator, domain: str, rng, steps_per_epoch: int,
     mpd_params = mpd.init(rng_mpd, wave, wave)["params"]
     s_vars = scale_disc.init(rng_s, wave, wave)
     disc_params = {"mpd": mpd_params, "scale": s_vars["params"]}
+    if cqtd is not None:
+        disc_params["cqtd"] = cqtd.init(rng_c, wave, wave)["params"]
     spectral = s_vars.get("spectral", None)
 
     tx = make_optimizer(h, steps_per_epoch)
@@ -136,7 +145,8 @@ def make_train_step(h, generator, domain: str, mesh=None,
     clean for vocoder); joint_task selects the input-feature branch
     statically (one compiled step per task).
     """
-    mpd, scale_disc, scale_weight = _build_discs(h, domain)
+    mpd, scale_disc, scale_weight, cqtd = _build_discs(h, domain)
+    cqtd_weight = float(h.get("cqtd_weight", 1.0))
     use_ls = domain in ("tf", "joint") or h.model_name in ("HiFiGAN", "iSTFTNet")
     d_loss_fn = ls_discriminator_loss if use_ls else hinge_discriminator_loss
     g_loss_fn = ls_generator_loss if use_ls else hinge_generator_loss
@@ -195,6 +205,11 @@ def make_train_step(h, generator, domain: str, mesh=None,
                         *_to_compute((y, y_hat)))
         return _to_f32(out)
 
+    def cqtd_apply(params, y, y_hat):
+        out = cqtd.apply({"params": _to_compute(params)},
+                         *_to_compute((y, y_hat)))
+        return _to_f32(out)
+
     def scale_apply(params, spectral, y, y_hat, update_stats):
         params = _to_compute(params)
         y, y_hat = _to_compute((y, y_hat))
@@ -248,7 +263,12 @@ def make_train_step(h, generator, domain: str, mesh=None,
                 params["scale"], disc_state.spectral, y_c, y_g_det, update_stats=True
             )
             loss_s, _, _ = d_loss_fn(r_s, g_s)
-            return loss_s * scale_weight + loss_f, new_spec
+            loss = loss_s * scale_weight + loss_f
+            if cqtd is not None:
+                r_c, g_c, _, _ = cqtd_apply(params["cqtd"], y_c, y_g_det)
+                loss_c, _, _ = d_loss_fn(r_c, g_c)
+                loss = loss + cqtd_weight * loss_c
+            return loss, new_spec
 
         (L_D, new_spectral), d_grads = jax.value_and_grad(disc_loss, has_aux=True)(
             disc_state.params
@@ -292,6 +312,12 @@ def make_train_step(h, generator, domain: str, mesh=None,
             loss_gen_s, _ = g_loss_fn(g_s)
             L_GAN = loss_gen_s * scale_weight + loss_gen_f
             L_FM = feature_loss(fr_s, fg_s) * scale_weight + feature_loss(fr_f, fg_f)
+            if cqtd is not None:
+                r_c, g_c, fr_c, fg_c = cqtd_apply(
+                    disc_state.params["cqtd"], y_c, y_gc)
+                loss_gen_c, _ = g_loss_fn(g_c)
+                L_GAN = L_GAN + cqtd_weight * loss_gen_c
+                L_FM = L_FM + cqtd_weight * feature_loss(fr_c, fg_c)
             L_W = L_GAN + L_FM + 45.0 * L_Mel
             if tf_like:
                 L_G = 45.0 * L_A + 100.0 * L_P + 20.0 * L_S + L_W

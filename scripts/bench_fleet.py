@@ -50,25 +50,29 @@ def bench_model(name: str, cfg_name: str, iters: int, B: int, T: int) -> dict:
     params = gen.init(jax.random.PRNGKey(0), mel[:1, :, :16])["params"]
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
-    @jax.jit
+    from nvse_tpu.utils.flops import compiled_flops, mfu
+
     def synth(params, mel):
         out = gen.apply({"params": params}, mel)
         out = out[-1] if isinstance(out, tuple) else out
         return jnp.sum(out)
 
     t_c0 = time.time()
-    float(synth(params, mel))  # compile + warmup (scalar transfer = sync)
+    # AOT lower+compile: one compile serves both the XLA cost analysis
+    # (per-call FLOPs -> MFU) and the timed loop
+    flops, compiled = compiled_flops(synth, params, mel)
+    float(compiled(params, mel))  # warmup (scalar transfer = sync)
     compile_sec = time.time() - t_c0
 
     t0 = time.time()
     s = 0.0
     for _ in range(iters):
-        s = synth(params, mel)
+        s = compiled(params, mel)
     float(s)
     wall = time.time() - t0
 
     audio_sec = iters * B * (T - 1) * h.hop_size / h.sampling_rate
-    return {
+    row = {
         "model": name,
         "domain": domain,
         "params_m": round(n_params / 1e6, 2),
@@ -78,6 +82,8 @@ def bench_model(name: str, cfg_name: str, iters: int, B: int, T: int) -> dict:
         "iters": iters,
         "compile_sec": round(compile_sec, 1),
     }
+    row.update(mfu(flops, iters / wall))
+    return row
 
 
 def main() -> None:

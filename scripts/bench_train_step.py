@@ -44,12 +44,21 @@ def bench(compute_dtype: str, iters: int) -> dict:
     float(m["G"])
     compile_sec = time.time() - t0
 
+    # per-step FLOPs from the already-jitted step's cost analysis (the
+    # trace is cached, so this does not recompile)
+    from nvse_tpu.utils.flops import compiled_flops, mfu as mfu_of
+    try:
+        flops, _ = compiled_flops(
+            tr.fns.train_step, tr.gen_state, tr.disc_state, audio, None)
+    except Exception:
+        flops = 0.0
+
     t0 = time.time()
     for _ in range(iters):
         m = tr.step(audio)
     g = float(m["G"])  # scalar transfer = sync
     wall = time.time() - t0
-    return {
+    row = {
         "metric": "bsrnn_m_gan_train_step_ms",
         "compute_dtype": compute_dtype,
         "value": round(1000.0 * wall / iters, 1),
@@ -60,6 +69,9 @@ def bench(compute_dtype: str, iters: int) -> dict:
         "compile_sec": round(compile_sec, 1),
         "G": round(g, 3),
     }
+    if flops > 0:
+        row.update(mfu_of(flops, iters / wall))
+    return row
 
 
 def main() -> None:

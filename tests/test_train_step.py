@@ -143,3 +143,22 @@ def test_bf16_mixed_precision_step():
     # bf16 trunk vs f32 trunk: same batch, loss within a few percent
     rel = abs(float(m_bf["G"]) - float(m_f32["G"])) / abs(float(m_f32["G"]))
     assert rel < 0.05, (float(m_bf["G"]), float(m_f32["G"]))
+
+
+def test_cqtd_opt_in_step():
+    """h.use_cqtd adds the CQT discriminator as a third disc: its params
+    exist, receive gradient updates, and the step stays finite."""
+    h = _h(model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0,
+           causal=False, use_cqtd=True, cqtd_weight=1.0,
+           cqtd_hop_lengths=[256], cqtd_n_octaves=[4],
+           cqtd_bins_per_octaves=[12], cqtd_filters=8)
+    gen, domain = build_generator(h)
+    example = jnp.zeros((2, 80, h.segment_size // 256 + 1))
+    tr = GANTrainer(h, gen, domain, jax.random.PRNGKey(0), steps_per_epoch=10,
+                    example_input=example)
+    assert "cqtd" in tr.disc_state.params
+    c0 = jax.tree.map(lambda x: x.copy(), tr.disc_state.params["cqtd"])
+    metrics = tr.step(_audio(2, h.segment_size))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert _tree_l2_diff(c0, tr.disc_state.params["cqtd"]) > 0
