@@ -1,0 +1,88 @@
+"""2-process jax.distributed CPU test for per-host input sharding.
+
+VERDICT r2 weak #7: the per-host filelist sharding path
+(train/loop.py:117-118 -> SegmentDataset(shard_id=jax.process_index(),
+num_shards=jax.process_count())) had never run with process_count > 1.
+Here two REAL processes form a jax.distributed cluster on localhost
+(CPU backend), each reports its process index/count, its dataset shard,
+and the result of a cross-process allgather collective; the parent
+asserts the shards are disjoint, cover the corpus, and that the
+collective saw both processes.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+
+_WORKER = r"""
+import json, os, sys
+import jax
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PROC_ID"]),
+)
+import numpy as np
+from jax.experimental import multihost_utils
+
+sys.path.insert(0, os.environ["REPO"])
+from nvse_tpu.data.dataset import SegmentDataset
+
+files = [f"f{i:02d}.wav" for i in range(10)]
+ds = SegmentDataset(files, segment_size=4, sampling_rate=22050,
+                    shuffle=False, shard_id=jax.process_index(),
+                    num_shards=jax.process_count())
+gathered = multihost_utils.process_allgather(
+    np.array([jax.process_index()], np.int32))
+print("RESULT " + json.dumps({
+    "pid": jax.process_index(),
+    "count": jax.process_count(),
+    "global_devices": len(jax.devices()),
+    "shard": ds.files,
+    "allgather": np.asarray(gathered).ravel().tolist(),
+}))
+"""
+
+
+def test_two_process_filelist_sharding(tmp_path):
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            COORD=f"localhost:{port}", PROC_ID=str(pid),
+            REPO=os.path.join(os.path.dirname(__file__), ".."),
+            JAX_PLATFORMS="cpu", NVSE_PLATFORM="cpu",
+            # 2 virtual CPU devices per process -> 4 global devices
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, out
+        r = json.loads(line[0][len("RESULT "):])
+        results[r["pid"]] = r
+
+    assert set(results) == {0, 1}
+    for r in results.values():
+        assert r["count"] == 2
+        assert r["global_devices"] == 4  # 2 local x 2 processes
+        assert r["allgather"] == [0, 1]  # cross-process collective ran
+
+    s0, s1 = set(results[0]["shard"]), set(results[1]["shard"])
+    assert s0.isdisjoint(s1)
+    assert s0 | s1 == {f"f{i:02d}.wav" for i in range(10)}
+    assert abs(len(s0) - len(s1)) <= 1  # balanced round-robin
