@@ -31,6 +31,10 @@ def main() -> None:
                    help="Target sampling rate, 16k by default")
     p.add_argument("--ckpt", default=DEFAULT_CKPT,
                    help="UTMOS strong-learner lightning checkpoint")
+    p.add_argument("--backend", choices=("jax", "torch"), default="jax",
+                   help="jax = score on the default JAX device (TPU when "
+                        "present, nvse_tpu/metrics/utmos_jax.py); torch = "
+                        "host-CPU torch path")
     args = p.parse_args()
 
     if not os.path.exists(args.ckpt):
@@ -43,7 +47,10 @@ def main() -> None:
             "pass --ckpt."
         )
 
-    from nvse_tpu.metrics.utmos_torch import score_dir
+    if args.backend == "jax":
+        from nvse_tpu.metrics.utmos_jax import score_dir
+    else:
+        from nvse_tpu.metrics.utmos_torch import score_dir
 
     mean_, std_ = score_dir(args.deg_dir, args.ckpt, sr=args.sr)
     print("UTMOS score: mean->{:.4f}, std->{:.4f}".format(mean_, std_))
