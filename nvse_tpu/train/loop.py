@@ -152,10 +152,10 @@ def train(h, log_fn=print) -> None:
     def validate(step: int) -> None:
         agg: dict[str, float] = {}
         count = 0
-        # validation_cap<=0 means the full validation set (the reference
-        # validates everything, train_tf_wi_inv.py:313-417; default 16
-        # keeps the smoke/CI cadence cheap)
-        cap = int(h.get("validation_cap", 16))
+        # default = the FULL validation set, matching the reference
+        # (train_tf_wi_inv.py:313-417); set validation_cap>0 to bound
+        # the per-validation cost on large corpora
+        cap = int(h.get("validation_cap", 0))
         n_val = len(val_ds) if cap <= 0 else min(len(val_ds), cap)
         for i in range(n_val):
             audio = jnp.asarray(val_ds[i][None, :])
