@@ -41,32 +41,42 @@ def main() -> None:
     mel = jnp.asarray(rng.standard_normal((B, h.num_mels, T)).astype(np.float32) - 4.0)
     params = gen.init(jax.random.PRNGKey(0), mel[:1, :, :16])["params"]
 
-    @jax.jit
     def synth(params, mel):
         # sum-reduce on device: the returned scalar transfer is the
         # synchronisation point (block_until_ready does not actually
         # wait through the axon tunnel; a host transfer does)
         return jnp.sum(gen.apply({"params": params}, mel)[-1])
 
-    # warmup / compile
-    float(synth(params, mel))
+    # AOT lower+compile: one compile serves the XLA cost analysis
+    # (FLOPs -> MFU side info) and the timed loop
+    try:
+        from nvse_tpu.utils.flops import compiled_flops, mfu
+        flops, compiled = compiled_flops(synth, params, mel)
+    except Exception:
+        flops, compiled = 0.0, jax.jit(synth)
+
+    # warmup
+    float(compiled(params, mel))
 
     iters = 10
     t0 = time.time()
     s = 0.0
     for _ in range(iters):
-        s = synth(params, mel)
+        s = compiled(params, mel)
     float(s)  # drains the ordered execution queue
     wall = time.time() - t0
 
     audio_sec = iters * B * (T - 1) * h.hop_size / h.sampling_rate
     rtf = audio_sec / wall
-    print(json.dumps({
+    row = {
         "metric": "bsrnn_m_mel2wav_rtf",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf, 2),
-    }))
+    }
+    if flops > 0:
+        row.update(mfu(flops, iters / wall))
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
