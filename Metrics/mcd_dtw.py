@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""DTW-aligned mel-cepstral distortion (reference Metrics/mcd_utils.py).
+"""DTW-aligned SPTK-style mcep MCD (reference Metrics/mcd_utils.py contract).
 
     python Metrics/mcd_dtw.py --ref_dir <clean> --deg_dir <decoded>
 """
@@ -9,7 +9,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from nvse_tpu.metrics.common import run_metric_cli
-from nvse_tpu.metrics.dsp import mcd_dtw
+from nvse_tpu.metrics.mcep import mcd_sptk_dtw as mcd_dtw
 
 if __name__ == "__main__":
     run_metric_cli("MCD-DTW", mcd_dtw, default_sr=22050)

@@ -36,7 +36,8 @@ def main() -> None:
     from nvse_tpu.infer import run_inference
     from nvse_tpu.infer.engine import resolve_filelist
     from nvse_tpu.metrics import (estoi, evaluate_f0_metrics, lsd, mcd,
-                                  mcd_dtw, pesq_wb, snr, stoi)
+                                  mcd_dtw, mcd_sptk, mcd_sptk_dtw, pesq_wb,
+                                  snr, stoi)
     from nvse_tpu.utils import load_config
 
     h = load_config(args.cfg_filename)
@@ -65,6 +66,8 @@ def main() -> None:
             "estoi": estoi(ref, deg, sr),
             "mcd": mcd(ref, deg, sr),
             "mcd_dtw": mcd_dtw(ref, deg, sr),
+            "mcd_sptk": mcd_sptk(ref, deg, sr),
+            "mcd_sptk_dtw": mcd_sptk_dtw(ref, deg, sr),
             "snr": snr(ref, deg, sr),
         }
         scores.update(evaluate_f0_metrics(ref, deg, sr))
