@@ -401,23 +401,30 @@ class LSTM(nn.Module):
         def uinit(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
-        # note: a fused two-direction kernel (ops.pallas_lstm.lstm_scan_bidir)
-        # was measured SLOWER on v5e (its block-diagonal matmul doubles
-        # per-step FLOPs, which outweighs the halved step count), so the
-        # directions run as two independent scans
-        from ..ops.pallas_lstm import lstm_scan
+        # bidirectional pairs run through the dual-dot fused kernel
+        # (ops.pallas_lstm.lstm_scan_bidir2): both directions advance in
+        # each sequential grid step as two (B,H)@(H,4H) dots — matmul
+        # FLOPs identical to two independent scans, step count halved.
+        # (The earlier block-diagonal fusion, lstm_scan_bidir, doubled
+        # per-step FLOPs and measured SLOWER on v5e; kept for reference.)
+        from ..ops.pallas_lstm import lstm_scan, lstm_scan_bidir2
 
-        def run_direction(x, name):
+        def direction_params(name):
             w_ih = self.param(f"w_ih_{name}", uinit, (self.input_size, 4 * H))
             w_hh = self.param(f"w_hh_{name}", uinit, (H, 4 * H))
             b = self.param(f"b_ih_{name}", uinit, (4 * H,)) + self.param(
                 f"b_hh_{name}", uinit, (4 * H,)
             )
-            xg = jnp.swapaxes(x @ w_ih + b, 0, 1)  # time-major (T, B, 4H)
-            return jnp.swapaxes(lstm_scan(xg, w_hh), 0, 1)
+            return w_ih, w_hh, b
 
-        fwd = run_direction(x, "fwd")
+        w_ih_f, w_hh_f, b_f = direction_params("fwd")
+        xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)  # time-major (T, B, 4H)
         if not self.bidirectional:
-            return fwd
-        bwd = run_direction(jnp.flip(x, axis=1), "bwd")
+            return jnp.swapaxes(lstm_scan(xg_f, w_hh_f), 0, 1)
+
+        w_ih_b, w_hh_b, b_b = direction_params("bwd")
+        xg_b = jnp.swapaxes(jnp.flip(x, axis=1) @ w_ih_b + b_b, 0, 1)
+        hs_f, hs_b = lstm_scan_bidir2(xg_f, xg_b, w_hh_f, w_hh_b)
+        fwd = jnp.swapaxes(hs_f, 0, 1)
+        bwd = jnp.swapaxes(hs_b, 0, 1)
         return jnp.concatenate([fwd, jnp.flip(bwd, axis=1)], axis=-1)

@@ -232,6 +232,127 @@ def _pallas_lstm_scan_bidir(xp_cat, w_stack, nrows_fwd: int,
     return out[:, :B2, :]
 
 
+# ---------------------------------------------------------------------------
+# dual-dot bidirectional scan: the blockdiag trick above fuses the two
+# directions into ONE (2B, 2H) @ (2H, 4H) matmul — 2x the total FLOPs of
+# running the directions separately, which measured SLOWER on v5e. This
+# variant keeps the two directions' states in separate scratch and issues
+# two (B, H) @ (H, 4H) dots per grid step: total matmul FLOPs identical
+# to the unfused path, but the sequential grid is T steps instead of 2T
+# and both directions share each step's DMA pipeline slot.
+# ---------------------------------------------------------------------------
+
+
+def _dualdot_kernel(xf_ref, xb_ref, wf_ref, wb_ref, of_ref, ob_ref,
+                    hf_s, cf_s, hb_s, cb_s):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        hf_s[...] = jnp.zeros_like(hf_s)
+        cf_s[...] = jnp.zeros_like(cf_s)
+        hb_s[...] = jnp.zeros_like(hb_s)
+        cb_s[...] = jnp.zeros_like(cb_s)
+
+    H = hf_s.shape[-1]
+
+    def cell(x_ref, w_ref, h_s, c_s, o_ref):
+        gates = x_ref[0] + jnp.dot(h_s[...], w_ref[...],
+                                   preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c = f * c_s[...] + i * g
+        h = o * jnp.tanh(c)
+        c_s[...] = c
+        h_s[...] = h
+        o_ref[0] = h
+
+    cell(xf_ref, wf_ref, hf_s, cf_s, of_ref)
+    cell(xb_ref, wb_ref, hb_s, cb_s, ob_ref)
+
+
+def _xla_lstm_scan_bidir2(xp_f, xp_b, w_f, w_b):
+    return _xla_lstm_scan(xp_f, w_f), _xla_lstm_scan(xp_b, w_b)
+
+
+def _pallas_lstm_scan_bidir2(xp_f, xp_b, w_f, w_b, interpret=False):
+    T, B, G = xp_f.shape
+    H = w_f.shape[0]
+    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    nb = -(-B // Bt)
+    B_pad = nb * Bt
+    if B_pad != B:
+        pad = ((0, 0), (0, B_pad - B), (0, 0))
+        xp_f = jnp.pad(xp_f, pad)
+        xp_b = jnp.pad(xp_b, pad)
+    hs_f, hs_b = pl.pallas_call(
+        _dualdot_kernel,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, Bt, G), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, Bt, G), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((H, G), lambda b, t: (0, 0)),
+            pl.BlockSpec((H, G), lambda b, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B_pad, H), xp_f.dtype),
+            jax.ShapeDtypeStruct((T, B_pad, H), xp_b.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(xp_f, xp_b, w_f, w_b)
+    return hs_f[:, :B], hs_b[:, :B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def lstm_scan_bidir2(xp_f, xp_b, w_f, w_b):
+    """Dual-dot fused two-direction scan.
+
+    (T, B, 4H) x2 + (H, 4H) x2 -> ((T, B, H), (T, B, H)). xp_b and the
+    returned hs_b are in the backward direction's own (time-flipped)
+    order; the caller flips. Matmul FLOPs match two independent scans;
+    sequential steps are halved.
+    """
+    if jax.default_backend() == "cpu" or pltpu is None:
+        return _xla_lstm_scan_bidir2(xp_f, xp_b, w_f, w_b)
+    return _pallas_lstm_scan_bidir2(xp_f, xp_b, w_f, w_b)
+
+
+def _bidir2_fwd(xp_f, xp_b, w_f, w_b):
+    return lstm_scan_bidir2(xp_f, xp_b, w_f, w_b), (xp_f, xp_b, w_f, w_b)
+
+
+def _bidir2_bwd(res, g):
+    xp_f, xp_b, w_f, w_b = res
+    if jax.default_backend() == "cpu" or pltpu is None:
+        _, vjp = jax.vjp(_xla_lstm_scan_bidir2, xp_f, xp_b, w_f, w_b)
+        return vjp(g)
+    # TPU: recompute each direction's (hs, cs) with the Pallas forward and
+    # run the Pallas backward kernel — same path lstm_scan's vjp uses.
+    from .pallas_lstm_bwd import lstm_bwd, lstm_fwd_hc
+
+    g_f, g_b = g
+    hs_f, cs_f = lstm_fwd_hc(xp_f, w_f)
+    hs_b, cs_b = lstm_fwd_hc(xp_b, w_b)
+    dxf, dwf = lstm_bwd(xp_f, hs_f, cs_f, g_f, w_f)
+    dxb, dwb = lstm_bwd(xp_b, hs_b, cs_b, g_b, w_b)
+    return dxf, dxb, dwf, dwb
+
+
+lstm_scan_bidir2.defvjp(_bidir2_fwd, _bidir2_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def lstm_scan_bidir(xp_cat: jnp.ndarray, w_stack: jnp.ndarray) -> jnp.ndarray:
     """(T, 2B, 4H), (2H, 4H) -> (T, 2B, H) fused two-direction scan.

@@ -101,3 +101,46 @@ def test_bwd_kernel_parity_interpret():
         gx, gw = lstm_bwd(xp, hs, cs, dhs, w, interpret=True)
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_bidir2_kernel_matches_two_scans_interpret():
+    from nvse_tpu.ops.pallas_lstm import (
+        _pallas_lstm_scan_bidir2,
+        _xla_lstm_scan,
+    )
+    rng = np.random.default_rng(3)
+    T, B, H = 11, 12, 16
+    xf = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * 0.5)
+    xb = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * 0.5)
+    wf = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1)
+    wb = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1)
+    got_f, got_b = _pallas_lstm_scan_bidir2(xf, xb, wf, wb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(_xla_lstm_scan(xf, wf)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(_xla_lstm_scan(xb, wb)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bidir2_gradients_match_xla():
+    from nvse_tpu.ops.pallas_lstm import lstm_scan_bidir2, _xla_lstm_scan
+
+    rng = np.random.default_rng(4)
+    T, B, H = 7, 6, 8
+    xf = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * 0.5)
+    xb = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * 0.5)
+    wf = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1)
+    wb = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1)
+
+    def loss(a, b, c, d):
+        hf, hb = lstm_scan_bidir2(a, b, c, d)
+        return jnp.sum(hf ** 2) + jnp.sum(hb * hb * 0.5)
+
+    def loss_ref(a, b, c, d):
+        return (jnp.sum(_xla_lstm_scan(a, c) ** 2)
+                + jnp.sum(_xla_lstm_scan(b, d) ** 2 * 0.5))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(xf, xb, wf, wb)
+    refs = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xf, xb, wf, wb)
+    for g, r in zip(grads, refs):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
