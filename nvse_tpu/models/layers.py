@@ -401,13 +401,14 @@ class LSTM(nn.Module):
         def uinit(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
-        # bidirectional pairs run through the dual-dot fused kernel
-        # (ops.pallas_lstm.lstm_scan_bidir2): both directions advance in
-        # each sequential grid step as two (B,H)@(H,4H) dots — matmul
-        # FLOPs identical to two independent scans, step count halved.
-        # (The earlier block-diagonal fusion, lstm_scan_bidir, doubled
-        # per-step FLOPs and measured SLOWER on v5e; kept for reference.)
-        from ..ops.pallas_lstm import lstm_scan, lstm_scan_bidir2
+        # bidirectional pairs run through the fused-projection kernel
+        # (ops.pallas_lstm.lstm_scan_fused): the x @ W_ih projection is
+        # computed inside the recurrence kernel per grid step, so the
+        # (T, B, 4H) x_proj tensor — 4x the HBM traffic of x at C = H,
+        # the measured bottleneck of the standalone scan — never exists,
+        # and the backward direction's time flip is a reversed tile
+        # index map instead of an HBM round-trip.
+        from ..ops.pallas_lstm import lstm_scan, lstm_scan_fused
 
         def direction_params(name):
             w_ih = self.param(f"w_ih_{name}", uinit, (self.input_size, 4 * H))
@@ -418,13 +419,9 @@ class LSTM(nn.Module):
             return w_ih, w_hh, b
 
         w_ih_f, w_hh_f, b_f = direction_params("fwd")
-        xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)  # time-major (T, B, 4H)
         if not self.bidirectional:
+            xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)  # time-major
             return jnp.swapaxes(lstm_scan(xg_f, w_hh_f), 0, 1)
 
         w_ih_b, w_hh_b, b_b = direction_params("bwd")
-        xg_b = jnp.swapaxes(jnp.flip(x, axis=1) @ w_ih_b + b_b, 0, 1)
-        hs_f, hs_b = lstm_scan_bidir2(xg_f, xg_b, w_hh_f, w_hh_b)
-        fwd = jnp.swapaxes(hs_f, 0, 1)
-        bwd = jnp.swapaxes(hs_b, 0, 1)
-        return jnp.concatenate([fwd, jnp.flip(bwd, axis=1)], axis=-1)
+        return lstm_scan_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)

@@ -353,6 +353,166 @@ def _bidir2_bwd(res, g):
 lstm_scan_bidir2.defvjp(_bidir2_fwd, _bidir2_bwd)
 
 
+# ---------------------------------------------------------------------------
+# fused-projection bidirectional scan: the input projection x @ W_ih is
+# computed INSIDE the kernel, per grid step, for both directions. On-chip
+# measurement (scripts/bench_lstm_kernel.py) shows the standalone scan is
+# HBM-bound streaming the precomputed x_proj (T, B, 4H) — 4x the traffic
+# of x itself (T, B, C) at C = H. Fusing the projection removes the
+# x_proj HBM round-trip AND the jnp.flip read/writes (the backward
+# direction's tiles are addressed with a reversed index map), at the
+# cost of one extra (B, C) @ (C, 4H) dot per step — which the MXU
+# overlaps with the recurrence dot. Everything accumulates in f32; bf16
+# inputs (engine compute_dtype) halve the remaining stream.
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel():
+    def kernel(xf_ref, xb_ref, wif_ref, wib_ref, bf_ref, bb_ref,
+               whf_ref, whb_ref, of_ref, ob_ref, hf_s, cf_s, hb_s, cb_s):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            hf_s[...] = jnp.zeros_like(hf_s)
+            cf_s[...] = jnp.zeros_like(cf_s)
+            hb_s[...] = jnp.zeros_like(hb_s)
+            cb_s[...] = jnp.zeros_like(cb_s)
+
+        H = hf_s.shape[-1]
+
+        def cell(x_ref, wi_ref, b_ref, wh_ref, h_s, c_s, o_ref):
+            gates = (jnp.dot(x_ref[0], wi_ref[...],
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(h_s[...], wh_ref[...],
+                               preferred_element_type=jnp.float32)
+                     + b_ref[0])
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H : 2 * H])
+            g = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H :])
+            c = f * c_s[...] + i * g
+            h = o * jnp.tanh(c)
+            c_s[...] = c
+            h_s[...] = h
+            o_ref[0] = h.astype(o_ref.dtype)
+
+        cell(xf_ref, wif_ref, bf_ref, whf_ref, hf_s, cf_s, of_ref)
+        cell(xb_ref, wib_ref, bb_ref, whb_ref, hb_s, cb_s, ob_ref)
+
+    return kernel
+
+
+def _xla_lstm_fused_ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
+    """Reference semantics: (B, T, C) -> (B, T, 2H) torch-BiLSTM order."""
+    xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)
+    xg_b = jnp.swapaxes(jnp.flip(x, axis=1) @ w_ih_b + b_b, 0, 1)
+    hs_f = jnp.swapaxes(_xla_lstm_scan(xg_f.astype(jnp.float32),
+                                       w_hh_f.astype(jnp.float32)), 0, 1)
+    hs_b = jnp.swapaxes(_xla_lstm_scan(xg_b.astype(jnp.float32),
+                                       w_hh_b.astype(jnp.float32)), 0, 1)
+    out = jnp.concatenate([hs_f, jnp.flip(hs_b, axis=1)], axis=-1)
+    return out.astype(x.dtype)
+
+
+# VMEM budget guard: weights + double-buffered x/out tiles + f32 state
+# must fit in ~12 of the 16 MB. Models whose (C, H) exceed it (e.g. the
+# HD-Demucs 768->384 bottleneck BLSTM) fall back to the unfused path.
+_FUSED_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _fused_vmem_bytes(Bt: int, C: int, H: int, itemsize: int) -> int:
+    weights = 2 * (C * 4 * H + H * 4 * H + 4 * H) * itemsize
+    tiles = 2 * 2 * (Bt * C + Bt * H) * itemsize  # 2 dirs x double buffer
+    state = 4 * Bt * H * 4
+    return weights + tiles + state
+
+
+def _pallas_lstm_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b,
+                       interpret=False):
+    B, T, C = x.shape
+    H = w_hh_f.shape[0]
+    xt = jnp.swapaxes(x, 0, 1)  # (T, B, C) time-major tiles
+    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    nb = -(-B // Bt)
+    B_pad = nb * Bt
+    if B_pad != B:
+        xt = jnp.pad(xt, ((0, 0), (0, B_pad - B), (0, 0)))
+    b2_f = b_f.reshape(1, -1)
+    b2_b = b_b.reshape(1, -1)
+    Tm1 = T - 1
+    hs_f, hs_b = pl.pallas_call(
+        _fused_kernel(),
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, Bt, C), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, Bt, C), lambda b, t: (Tm1 - t, b, 0)),
+            pl.BlockSpec((C, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((C, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, Bt, H), lambda b, t: (Tm1 - t, b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B_pad, H), x.dtype),
+            jax.ShapeDtypeStruct((T, B_pad, H), x.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(xt, xt, w_ih_f, w_ih_b, b2_f, b2_b, w_hh_f, w_hh_b)
+    # hs_b comes out already unflipped (reversed out index map)
+    out = jnp.concatenate([hs_f[:, :B], hs_b[:, :B]], axis=-1)
+    return jnp.swapaxes(out, 0, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def lstm_scan_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
+    """(B, T, C) -> (B, T, 2H) fused-projection bidirectional LSTM."""
+    if jax.default_backend() == "cpu" or pltpu is None:
+        return _xla_lstm_fused_ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+    B, T, C = x.shape
+    H = w_hh_f.shape[0]
+    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    if _fused_vmem_bytes(Bt, C, H, x.dtype.itemsize) > _FUSED_VMEM_BUDGET:
+        return _xla_lstm_fused_ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+    return _pallas_lstm_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+
+
+def _fused_fwd(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
+    out = lstm_scan_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+    return out, (x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+
+
+def _fused_bwd(res, g):
+    # recompute-based: differentiate the XLA composition (projection +
+    # scan + flips); the scans inside use lstm_scan's own custom VJP,
+    # i.e. the Pallas backward kernel on TPU
+    x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b = res
+
+    def ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
+        xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)
+        xg_b = jnp.swapaxes(jnp.flip(x, axis=1) @ w_ih_b + b_b, 0, 1)
+        hs_f = jnp.swapaxes(lstm_scan(xg_f, w_hh_f), 0, 1)
+        hs_b = jnp.swapaxes(lstm_scan(xg_b, w_hh_b), 0, 1)
+        return jnp.concatenate([hs_f, jnp.flip(hs_b, axis=1)], axis=-1)
+
+    _, vjp = jax.vjp(ref, x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+    return vjp(g)
+
+
+lstm_scan_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def lstm_scan_bidir(xp_cat: jnp.ndarray, w_stack: jnp.ndarray) -> jnp.ndarray:
     """(T, 2B, 4H), (2H, 4H) -> (T, 2B, H) fused two-direction scan.

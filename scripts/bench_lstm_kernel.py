@@ -14,7 +14,11 @@ is a scalar transfer (block_until_ready is a no-op there).
 """
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +30,7 @@ from nvse_tpu.ops.pallas_lstm import (  # noqa: E402
     lstm_scan,
     lstm_scan_bidir,
     lstm_scan_bidir2,
+    lstm_scan_fused,
 )
 
 
@@ -74,6 +79,38 @@ def main():
             print(json.dumps({"shape": name, "T": T, "B": B, "H": H,
                               "variant": variant, "ms": round(ms, 3)}),
                   flush=True)
+
+        # fused-projection variants time the WHOLE biLSTM (projection +
+        # flips + scan), so compare against "endtoend_unfused" below,
+        # not the scan-only rows above.
+        C = H
+        for dt, tag in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
+            x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32)
+                            * .1).astype(dt)
+            wif = jnp.asarray(rng.standard_normal((C, 4 * H)).astype(np.float32)
+                              * .05).astype(dt)
+            wib = jnp.asarray(rng.standard_normal((C, 4 * H)).astype(np.float32)
+                              * .05).astype(dt)
+            bf = jnp.zeros(4 * H, dt)
+            bb = jnp.zeros(4 * H, dt)
+            whf = wf.astype(dt)
+            whb = wb.astype(dt)
+
+            def e2e_unfused(x, wif, wib, bf, bb, whf, whb):
+                xg_f = jnp.swapaxes(x @ wif + bf, 0, 1)
+                xg_b = jnp.swapaxes(jnp.flip(x, axis=1) @ wib + bb, 0, 1)
+                hs_f = jnp.swapaxes(lstm_scan(xg_f.astype(jnp.float32),
+                                              whf.astype(jnp.float32)), 0, 1)
+                hs_b = jnp.swapaxes(lstm_scan(xg_b.astype(jnp.float32),
+                                              whb.astype(jnp.float32)), 0, 1)
+                return jnp.concatenate([hs_f, jnp.flip(hs_b, axis=1)], -1)
+
+            for variant, fn in [(f"endtoend_unfused_{tag}", jax.jit(e2e_unfused)),
+                                (f"fusedproj_{tag}", jax.jit(lstm_scan_fused))]:
+                ms = bench(fn, (x, wif, wib, bf, bb, whf, whb), args.iters)
+                print(json.dumps({"shape": name, "T": T, "B": B, "H": H,
+                                  "variant": variant, "ms": round(ms, 3)}),
+                      flush=True)
 
 
 if __name__ == "__main__":

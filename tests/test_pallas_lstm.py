@@ -144,3 +144,61 @@ def test_bidir2_gradients_match_xla():
     for g, r in zip(grads, refs):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-5, atol=1e-6)
+
+
+def _fused_data(T=13, B=10, C=12, H=16, seed=5, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(dtype) * 0.5)
+    wif = jnp.asarray(rng.standard_normal((C, 4 * H)).astype(dtype) * 0.1)
+    wib = jnp.asarray(rng.standard_normal((C, 4 * H)).astype(dtype) * 0.1)
+    bf = jnp.asarray(rng.standard_normal(4 * H).astype(dtype) * 0.1)
+    bb = jnp.asarray(rng.standard_normal(4 * H).astype(dtype) * 0.1)
+    whf = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(dtype) * 0.1)
+    whb = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(dtype) * 0.1)
+    return x, wif, wib, bf, bb, whf, whb
+
+
+def test_fused_kernel_matches_ref_interpret():
+    from nvse_tpu.ops.pallas_lstm import (_pallas_lstm_fused,
+                                          _xla_lstm_fused_ref)
+    args = _fused_data()
+    ref = np.asarray(_xla_lstm_fused_ref(*args))
+    got = np.asarray(_pallas_lstm_fused(*args, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_kernel_batch_padding_interpret():
+    from nvse_tpu.ops.pallas_lstm import (_pallas_lstm_fused,
+                                          _xla_lstm_fused_ref)
+    args = _fused_data(B=20)  # pads to 24 internally
+    ref = np.asarray(_xla_lstm_fused_ref(*args))
+    got = np.asarray(_pallas_lstm_fused(*args, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_gradients_match_xla():
+    from nvse_tpu.ops.pallas_lstm import lstm_scan_fused, _xla_lstm_fused_ref
+
+    args = _fused_data(T=7, B=4, C=6, H=8, seed=6)
+
+    def loss(*a):
+        return jnp.sum(lstm_scan_fused(*a) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(_xla_lstm_fused_ref(*a) ** 2)
+
+    grads = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    refs = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for g, r in zip(grads, refs):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_vmem_guard_falls_back():
+    from nvse_tpu.ops.pallas_lstm import (_FUSED_VMEM_BUDGET,
+                                          _fused_vmem_bytes)
+    # HD-Demucs bottleneck BLSTM (C=768, H=384) must NOT claim to fit
+    assert _fused_vmem_bytes(1024, 768, 384, 4) > _FUSED_VMEM_BUDGET
+    # flagship BSRNN shapes must fit
+    assert _fused_vmem_bytes(1024, 128, 128, 4) <= _FUSED_VMEM_BUDGET
