@@ -73,10 +73,19 @@ def make_optimizer(h, steps_per_epoch: int) -> optax.GradientTransformation:
         decay_rate=h.lr_decay,
         staircase=True,
     )
-    return optax.adamw(
+    opt = optax.adamw(
         learning_rate=schedule, b1=h.adam_b1, b2=h.adam_b2,
         eps=1e-8, weight_decay=0.01,
     )
+    # Opt-in global-norm gradient clipping (h.grad_clip_norm > 0). The
+    # reference never clips (train_tf_wi_inv.py has bare opt.step()), so
+    # the default (absent/0) preserves parity; long GAN runs on small
+    # corpora can diverge (observed: FreeV NaN at ~4.6k steps on the
+    # 512-utt corpus) and clipping is the standard stabilizer.
+    clip = float(h.get("grad_clip_norm", 0.0) or 0.0)
+    if clip > 0.0:
+        opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+    return opt
 
 
 @dataclasses.dataclass

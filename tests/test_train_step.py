@@ -162,3 +162,29 @@ def test_cqtd_opt_in_step():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, v)
     assert _tree_l2_diff(c0, tr.disc_state.params["cqtd"]) > 0
+
+
+def test_grad_clip_norm_opt_in():
+    """h.grad_clip_norm > 0 chains global-norm clipping before adamw.
+
+    With an aggressively small clip the first-step parameter delta must
+    shrink versus the unclipped step; default (absent) stays unclipped
+    (reference parity: train_tf_wi_inv.py never clips).
+    """
+    def run(clip):
+        h = _h(model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0,
+               causal=False, segment_size=1024)
+        if clip:
+            h["grad_clip_norm"] = clip
+        gen, domain = build_generator(h)
+        example = jnp.zeros((2, 80, h.segment_size // 256 + 1))
+        tr = GANTrainer(h, gen, domain, jax.random.PRNGKey(0),
+                        steps_per_epoch=10, example_input=example)
+        p0 = jax.tree.map(lambda x: x.copy(), tr.gen_state.params)
+        m = tr.step(_audio(2, h.segment_size))
+        assert np.isfinite(float(m["G"]))
+        return _tree_l2_diff(p0, tr.gen_state.params)
+
+    free = run(0.0)
+    clipped = run(1e-3)
+    assert clipped < free, (clipped, free)
