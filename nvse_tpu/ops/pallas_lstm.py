@@ -489,25 +489,71 @@ def lstm_scan_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
 
 
 def _fused_fwd(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
-    out = lstm_scan_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
-    return out, (x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+    # Under differentiation the fused kernel is the WRONG forward: its
+    # residuals (hidden/cell states) stay in VMEM, so a recompute-based
+    # backward would pay the whole bidirectional scan twice (measured:
+    # the flagship GAN train step went 205 -> 450 ms when this path
+    # recomputed). Instead run the residual-saving decomposition —
+    # projection matmuls + lstm_fwd_hc per direction — exactly the
+    # round-2 training path, and keep the fused kernel for primal-only
+    # (inference) calls where custom_vjp never invokes this rule.
+    if jax.default_backend() == "cpu" or pltpu is None:
+        out = _xla_lstm_fused_ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+        return out, (None, x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+    out, saved = _fused_fwd_saving(x, w_ih_f, w_ih_b, b_f, b_b,
+                                   w_hh_f, w_hh_b)
+    return out, (saved, x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+
+
+def _fused_fwd_saving(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b,
+                      interpret: bool = False):
+    """Residual-saving bidirectional forward (Pallas fwd_hc kernels)."""
+    from .pallas_lstm_bwd import lstm_fwd_hc
+
+    xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)                 # (T, B, 4H)
+    xg_b = jnp.swapaxes(jnp.flip(x, axis=1) @ w_ih_b + b_b, 0, 1)
+    hs_f, cs_f = lstm_fwd_hc(xg_f, w_hh_f, interpret=interpret)
+    hs_b, cs_b = lstm_fwd_hc(xg_b, w_hh_b, interpret=interpret)
+    out = jnp.concatenate(
+        [jnp.swapaxes(hs_f, 0, 1), jnp.flip(jnp.swapaxes(hs_b, 0, 1), axis=1)],
+        axis=-1,
+    ).astype(x.dtype)
+    return out, (xg_f, xg_b, hs_f, cs_f, hs_b, cs_b)
 
 
 def _fused_bwd(res, g):
-    # recompute-based: differentiate the XLA composition (projection +
-    # scan + flips); the scans inside use lstm_scan's own custom VJP,
-    # i.e. the Pallas backward kernel on TPU
-    x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b = res
+    saved, x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b = res
+    if saved is None:  # CPU: autodiff the XLA composition (recompute)
+        _, vjp = jax.vjp(_xla_lstm_fused_ref,
+                         x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+        return vjp(g)
+    return _fused_bwd_saved(saved, x, w_ih_f, w_ih_b, b_f, b_b,
+                            w_hh_f, w_hh_b, g)
 
-    def ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
-        xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)
-        xg_b = jnp.swapaxes(jnp.flip(x, axis=1) @ w_ih_b + b_b, 0, 1)
-        hs_f = jnp.swapaxes(lstm_scan(xg_f, w_hh_f), 0, 1)
-        hs_b = jnp.swapaxes(lstm_scan(xg_b, w_hh_b), 0, 1)
-        return jnp.concatenate([hs_f, jnp.flip(hs_b, axis=1)], axis=-1)
 
-    _, vjp = jax.vjp(ref, x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
-    return vjp(g)
+def _fused_bwd_saved(saved, x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b, g,
+                     interpret: bool = False):
+    from .pallas_lstm_bwd import lstm_bwd
+
+    xg_f, xg_b, hs_f, cs_f, hs_b, cs_b = saved
+    H = w_hh_f.shape[0]
+    g_f = jnp.swapaxes(g[..., :H], 0, 1)                        # (T, B, H)
+    g_b = jnp.swapaxes(jnp.flip(g[..., H:], axis=1), 0, 1)
+    dxg_f, dw_hh_f = lstm_bwd(xg_f, hs_f, cs_f, g_f, w_hh_f,
+                              interpret=interpret)
+    dxg_b, dw_hh_b = lstm_bwd(xg_b, hs_b, cs_b, g_b, w_hh_b,
+                              interpret=interpret)
+    dxg_f_bm = jnp.swapaxes(dxg_f, 0, 1)                        # (B, T, 4H)
+    dxg_b_bm = jnp.swapaxes(dxg_b, 0, 1)
+    x_flip = jnp.flip(x, axis=1)
+    dx = (dxg_f_bm @ w_ih_f.T
+          + jnp.flip(dxg_b_bm @ w_ih_b.T, axis=1)).astype(x.dtype)
+    dw_ih_f = jnp.einsum("btc,btg->cg", x, dxg_f_bm).astype(w_ih_f.dtype)
+    dw_ih_b = jnp.einsum("btc,btg->cg", x_flip, dxg_b_bm).astype(w_ih_b.dtype)
+    db_f = jnp.sum(dxg_f, axis=(0, 1)).astype(b_f.dtype)
+    db_b = jnp.sum(dxg_b, axis=(0, 1)).astype(b_b.dtype)
+    return (dx, dw_ih_f, dw_ih_b, db_f, db_b,
+            dw_hh_f.astype(w_hh_f.dtype), dw_hh_b.astype(w_hh_b.dtype))
 
 
 lstm_scan_fused.defvjp(_fused_fwd, _fused_bwd)

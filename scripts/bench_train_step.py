@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def bench(compute_dtype: str, iters: int) -> dict:
     import jax
+
+    # persistent compile cache: repeat runs skip the multi-minute compile
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from nvse_tpu.models import build_generator

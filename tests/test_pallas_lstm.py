@@ -202,3 +202,29 @@ def test_fused_vmem_guard_falls_back():
     assert _fused_vmem_bytes(1024, 768, 384, 4) > _FUSED_VMEM_BUDGET
     # flagship BSRNN shapes must fit
     assert _fused_vmem_bytes(1024, 128, 128, 4) <= _FUSED_VMEM_BUDGET
+
+
+def test_fused_saving_fwd_bwd_interpret():
+    """The residual-saving training path of lstm_scan_fused (the branch
+    its custom_vjp takes on TPU) must match jax.grad of the XLA
+    reference — exercised on CPU via interpret-mode Pallas kernels."""
+    from nvse_tpu.ops.pallas_lstm import (_fused_bwd_saved,
+                                          _fused_fwd_saving,
+                                          _xla_lstm_fused_ref)
+
+    args = _fused_data(T=7, B=4, C=6, H=8, seed=7)
+    out, saved = _fused_fwd_saving(*args, interpret=True)
+    ref_out = _xla_lstm_fused_ref(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_ref(*a):
+        return jnp.sum(_xla_lstm_fused_ref(*a) ** 2)
+
+    g = 2.0 * out
+    grads = _fused_bwd_saved(saved, *args, g, interpret=True)
+    refs = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    assert len(grads) == 7
+    for got, ref in zip(grads, refs):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
