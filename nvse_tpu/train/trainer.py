@@ -81,10 +81,21 @@ def make_optimizer(h, steps_per_epoch: int) -> optax.GradientTransformation:
     # reference never clips (train_tf_wi_inv.py has bare opt.step()), so
     # the default (absent/0) preserves parity; long GAN runs on small
     # corpora can diverge (observed: FreeV NaN at ~4.6k steps on the
-    # 512-utt corpus) and clipping is the standard stabilizer.
+    # 512-utt corpus) and clipping is the standard stabilizer. Applied
+    # statelessly inside the update fn — NOT via optax.chain — so the
+    # optimizer state tree is identical to plain adamw and checkpoints
+    # written without clipping restore into a clipped run (and back).
     clip = float(h.get("grad_clip_norm", 0.0) or 0.0)
     if clip > 0.0:
-        opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+        inner = opt
+
+        def update(grads, state, params=None, **kw):
+            norm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, clip / (norm + 1e-16))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            return inner.update(grads, state, params, **kw)
+
+        opt = optax.GradientTransformation(inner.init, update)
     return opt
 
 

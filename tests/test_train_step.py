@@ -188,3 +188,16 @@ def test_grad_clip_norm_opt_in():
     free = run(0.0)
     clipped = run(1e-3)
     assert clipped < free, (clipped, free)
+
+
+def test_grad_clip_state_is_checkpoint_compatible():
+    """Clipping must not change the optimizer state structure, so
+    checkpoints written without clipping restore into a clipped run."""
+    from nvse_tpu.train.trainer import make_optimizer
+
+    h0 = _h(model_name="BSRNN")
+    h1 = _h(model_name="BSRNN", grad_clip_norm=5.0)
+    params = {"w": jnp.ones((3, 3))}
+    s0 = make_optimizer(h0, 10).init(params)
+    s1 = make_optimizer(h1, 10).init(params)
+    assert jax.tree.structure(s0) == jax.tree.structure(s1)
