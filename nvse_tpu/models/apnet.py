@@ -33,6 +33,15 @@ class GRN(nn.Module):
 
     Note: on (B, T, C) the reference takes the L2 norm over dim=1 (time)
     and normalises by its mean over channels — replicated exactly.
+
+    The norm's backward needs the subgradient-at-zero guard: a hidden
+    unit whose GELU output underflows to exact zero for every frame
+    (x ≲ -14 makes erf round to -1 in f32) gives sum(x²) = 0, where
+    d sqrt/dx = x/sqrt(·) is 0/0 = NaN. torch.norm defines this
+    subgradient as 0, so the reference trains through dead channels;
+    the double-where below replicates that (this exact event took the
+    FreeV GAN run down at step ~5.4k — diagnosed via
+    scripts/nan_hunt.py + nan_dissect.py).
     """
 
     dim: int
@@ -41,7 +50,9 @@ class GRN(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         gamma = self.param("gamma", nn.initializers.zeros, (1, 1, self.dim))
         beta = self.param("beta", nn.initializers.zeros, (1, 1, self.dim))
-        gx = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))        # (B, 1, C)
+        sq = jnp.sum(x * x, axis=1, keepdims=True)                  # (B, 1, C)
+        gx = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        gx = jnp.where(sq > 0, gx, 0.0)
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
         return gamma * (x * nx) + beta + x
 

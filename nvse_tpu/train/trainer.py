@@ -91,7 +91,13 @@ def make_optimizer(h, steps_per_epoch: int) -> optax.GradientTransformation:
 
         def update(grads, state, params=None, **kw):
             norm = optax.global_norm(grads)
-            scale = jnp.minimum(1.0, clip / (norm + 1e-16))
+            # inf/NaN grads: scale = clip/inf = 0 would turn inf*0 into
+            # NaN and poison the params through adamw's moments. Leave
+            # non-finite grads unscaled instead — they are garbage either
+            # way, and downstream skip/debug logic (not silent NaN
+            # params) is the right place to handle them.
+            scale = jnp.where(jnp.isfinite(norm),
+                              jnp.minimum(1.0, clip / (norm + 1e-16)), 1.0)
             grads = jax.tree.map(lambda g: g * scale, grads)
             return inner.update(grads, state, params, **kw)
 

@@ -100,3 +100,30 @@ def test_bsrnn_24k_contract():
     logamp, pha, rea, imag, wav = model.apply(params, spec)
     assert logamp.shape == (1, 513, 9)
     assert wav.shape == (1, 256 * 8)
+
+
+def test_grn_zero_channel_subgradient():
+    """GRN backward through an exactly-zero channel must be finite.
+
+    A dead GELU unit (erf underflow at x <~ -14) zeroes a whole channel
+    over time; torch.norm's subgradient at 0 is 0 and the reference
+    trains through it (apnet2.py:13-24). The naive jnp.sqrt backward is
+    0/0 = NaN — this took down a FreeV GAN run at step ~5.4k.
+    """
+    from nvse_tpu.models.apnet import GRN
+
+    x = jnp.ones((2, 8, 4)).at[:, :, 1].set(0.0)
+    grn = GRN(dim=4)
+    params = grn.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, x):
+        return jnp.sum(grn.apply(p, x) ** 2)
+
+    gx = jax.grad(loss, argnums=1)(params, x)
+    gp = jax.grad(loss, argnums=0)(params, x)
+    assert bool(jnp.isfinite(gx).all())
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(gp))
+    # zero channel gets the torch subgradient: d(x*nx + x)/dx = 0 there
+    # only through the norm term; the residual path still contributes
+    out = grn.apply(params, x)
+    assert bool(jnp.isfinite(out).all())
