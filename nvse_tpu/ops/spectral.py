@@ -231,6 +231,12 @@ def stft_ri(
         # kernel follows the input dtype: conv requires matching dtypes
         # (unlike einsum, which promotes) and a bf16 input means the
         # caller wants the bf16 MXU path (mixed-precision trunks).
+        # precision=HIGHEST: TPU f32 convs otherwise run bf16 multiply
+        # passes on the MXU, and near-silent bins amplify that noise
+        # through the log-amplitude features (observed: per-term loss
+        # values shifted up to 40% vs exact f32 on identical inputs).
+        # Feature extraction feeds losses/targets, so it must be exact;
+        # model trunks keep the fast default. bf16 inputs are unaffected.
         kernel = (jnp.asarray(_rdft_basis_np(n_fft)) * win[:, None])[
             :, None, :
         ].astype(y.dtype)
@@ -239,6 +245,7 @@ def stft_ri(
             y.reshape(-1, y.shape[-1], 1), kernel,
             window_strides=(hop_size,), padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=jax.lax.Precision.HIGHEST,
         )                                        # (prod(lead), T, 2F)
         ri = ri.reshape(*lead, *ri.shape[1:])
         re, im = ri[..., :F], ri[..., F:]
@@ -313,7 +320,8 @@ def istft_ri(
     if _use_matmul_dft():
         basis = jnp.asarray(_irdft_basis_np(n_fft))
         ri = jnp.concatenate([xr, xi], axis=-1)  # (..., T, 2F)
-        frames = jnp.einsum("...tk,kn->...tn", ri, basis)
+        frames = jnp.einsum("...tk,kn->...tn", ri, basis,
+                            precision=jax.lax.Precision.HIGHEST)
     else:
         frames = jnp.fft.irfft(jax.lax.complex(xr, xi), n=n_fft, axis=-1)
     frames = frames * win
@@ -390,7 +398,8 @@ def mel_spectrogram(
     basis = mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax)
     re, im = stft_ri(y, n_fft, hop_size, win_size, window=hann_window(win_size), center=center)
     mag = _safe_magnitude(re, im)
-    mel = jnp.einsum("mf,...ft->...mt", basis, mag)
+    mel = jnp.einsum("mf,...ft->...mt", basis, mag,
+                     precision=jax.lax.Precision.HIGHEST)
     return dynamic_range_compression(mel)
 
 
@@ -411,7 +420,8 @@ def inverse_mel(
     apply abs().clamp_min(1e-5) (e.g. Models/bsrnn.py:153-166).
     """
     inv = inverse_mel_basis(sampling_rate, n_fft, num_mels, fmin, fmax)
-    return jnp.einsum("fm,...mt->...ft", inv, dynamic_range_decompression(mel))
+    return jnp.einsum("fm,...mt->...ft", inv, dynamic_range_decompression(mel),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def amp_pha_spectrum(
