@@ -26,6 +26,7 @@ import numpy as np
 from ..data import load_wav, write_wav
 from ..models import build_generator, model_input_bins
 from ..ops import mel_spectrogram
+from ..parallel import batch_sharding, get_mesh, replicated_sharding
 from ..train.checkpoint import load_generator_params, scan_checkpoint
 
 
@@ -56,11 +57,26 @@ class InferenceEngine:
                 )
             else:
                 self.params = template  # random init (benchmarks / smoke)
+        # Multi-chip serving: h.infer_dp_devices = N (or -1 for all
+        # local devices) shards the decode batch over a 1-D data mesh —
+        # params replicated once, batch rows split over ICI-connected
+        # chips, XLA runs each shard's generator forward independently
+        # (no collectives on this path; scaling is embarrassingly
+        # parallel). The reference has no multi-device inference at all
+        # (device hard-coded, infers/inference_bsrnn.py:129).
+        n_dp = int(self.h.get("infer_dp_devices", 1) or 1)
+        if n_dp == -1:
+            n_dp = len(jax.local_devices())
+        self.mesh = get_mesh(n_dp) if n_dp > 1 else None
         # Pin params on device once: checkpoint restore yields host
         # arrays, and passing those to a jitted fn re-uploads the whole
         # tree on EVERY call (~40MB/call for BSRNN-M — dominates
         # per-file decode latency through the remote-TPU tunnel).
-        self.params = jax.device_put(self.params)
+        if self.mesh is not None:
+            self.params = jax.device_put(
+                self.params, replicated_sharding(self.mesh))
+        else:
+            self.params = jax.device_put(self.params)
 
     def _fn(self, T: int):
         if T not in self._fns:
@@ -70,7 +86,6 @@ class InferenceEngine:
             # latency-bound LSTM models); output is cast back to f32
             dtype = jnp.bfloat16 if str(self.h.get("compute_dtype")) == "bfloat16" else None
 
-            @jax.jit
             def run(params, mel):
                 if dtype is not None:
                     params = jax.tree.map(lambda x: x.astype(dtype), params)
@@ -79,6 +94,12 @@ class InferenceEngine:
                 out = out[-1] if isinstance(out, tuple) else out
                 return out.astype(jnp.float32)
 
+            if self.mesh is not None:
+                bs = batch_sharding(self.mesh)
+                run = jax.jit(run, in_shardings=(
+                    replicated_sharding(self.mesh), bs), out_shardings=bs)
+            else:
+                run = jax.jit(run)
             self._fns[T] = run
         return self._fns[T]
 
@@ -90,13 +111,19 @@ class InferenceEngine:
         )
 
     def synthesize_mel(self, mel: jnp.ndarray, out_len: int | None = None) -> np.ndarray:
-        """mel (B, M, T) -> wav (B, L); pads T to a bucket, crops output."""
-        T = mel.shape[-1]
+        """mel (B, M, T) -> wav (B, L); pads T to a bucket, crops output.
+
+        Under a data mesh (h.infer_dp_devices) the batch axis is also
+        padded to a multiple of the mesh size and sharded across chips.
+        """
+        B, _, T = mel.shape
         Tb = _bucket(T, self.bucket_frames)
-        melp = jnp.pad(mel, ((0, 0), (0, 0), (0, Tb - T)),
+        n_dp = self.mesh.devices.size if self.mesh is not None else 1
+        Bb = _bucket(B, n_dp) if n_dp > 1 else B
+        melp = jnp.pad(mel, ((0, Bb - B), (0, 0), (0, Tb - T)),
                        constant_values=float(np.log(1e-5)))
         wav = self._fn(Tb)(self.params, melp)
-        wav = np.asarray(wav)
+        wav = np.asarray(wav)[:B]
         if out_len is None:
             out_len = T * self.h.hop_size
         return wav[..., :out_len]
@@ -144,14 +171,15 @@ class InferenceEngine:
         compiles T itself (streaming windows are not bucket-aligned).
         """
         Tb = T if exact else _bucket(T, self.bucket_frames)
-        if Tb in self._warmed:
+        B = self.mesh.devices.size if self.mesh is not None else 1
+        if (Tb, B) in self._warmed:
             return
-        mel = jnp.full((1, model_input_bins(self.h), Tb), float(np.log(1e-5)))
+        mel = jnp.full((B, model_input_bins(self.h), Tb), float(np.log(1e-5)))
         # sync via host transfer, not block_until_ready: through the TPU
         # tunnel block_until_ready is a no-op and the compile+execute
         # would otherwise be deferred into the first timed np.asarray
         np.asarray(self._fn(Tb)(self.params, mel))
-        self._warmed.add(Tb)
+        self._warmed.add((Tb, B))
 
 
 def resolve_filelist(h) -> list[str]:

@@ -136,3 +136,25 @@ def test_run_inference_stream_flag(wavs, tmp_path):
     assert stats["files"] == 2
     y = load_wav(os.path.join(h.test_output_dir, "u0.wav"), 22050)
     assert len(y) == 5000
+
+
+def test_engine_multichip_dp(wavs, tmp_path):
+    """infer_dp_devices=N shards the decode batch over a data mesh;
+    output matches the single-device decode exactly (no collectives on
+    the forward — embarrassingly parallel serving)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    h = _h(tmp_path, wavs)
+    single = InferenceEngine(h, bucket_frames=32)
+    h_dp = AttrDict(dict(h, infer_dp_devices=8))
+    sharded = InferenceEngine(h_dp, bucket_frames=32)
+    assert sharded.mesh is not None
+
+    mel1 = single.mel_of(load_wav(os.path.join(wavs, "u0.wav"), 22050))
+    mel = jnp.concatenate([mel1] * 5, axis=0)  # B=5: pads to 8 rows
+    ref = single.synthesize_mel(mel, out_len=5000)
+    out = sharded.synthesize_mel(mel, out_len=5000)
+    assert out.shape == (5, 5000)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
