@@ -112,6 +112,26 @@ class TrainStepFns:
     gen_apply: Callable
 
 
+def _apply_or_skip(state, grads):
+    """apply_gradients, but keep the old state when grads are non-finite.
+
+    The standard large-scale skip-step: one inf/NaN gradient (a GAN
+    spike, an overflow in a long backward) otherwise poisons the adamw
+    moments permanently — the params NaN one step later even though the
+    loss at the fatal step looks healthy. Non-finite entries are zeroed
+    before the inner update so the moments never see them, then the
+    whole new state is deselected in favour of the old one. Returns
+    (state, ok) with ok = 0.0 when the step was skipped. State structure
+    is unchanged (checkpoint-compatible both ways).
+    """
+    norm = optax.global_norm(grads)
+    ok = jnp.isfinite(norm)
+    safe = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+    new_state = state.apply_gradients(grads=safe)
+    merged = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_state, state)
+    return merged, ok.astype(jnp.float32)
+
+
 def _build_discs(h, domain: str):
     mpd = MultiPeriodDiscriminator(periods=tuple(h.mpd_reshapes))
     if domain in ("tf", "joint"):
@@ -174,6 +194,9 @@ def make_train_step(h, generator, domain: str, mesh=None,
     mpd, scale_disc, scale_weight, cqtd = _build_discs(h, domain)
     cqtd_weight = float(h.get("cqtd_weight", 1.0))
     use_ls = domain in ("tf", "joint") or h.model_name in ("HiFiGAN", "iSTFTNet")
+    # opt-in skip-step on non-finite gradients (production stabilizer;
+    # off by default for reference parity — the reference has no guard)
+    skip_nonfinite = bool(h.get("skip_nonfinite_updates"))
     d_loss_fn = ls_discriminator_loss if use_ls else hinge_discriminator_loss
     g_loss_fn = ls_generator_loss if use_ls else hinge_generator_loss
 
@@ -299,7 +322,14 @@ def make_train_step(h, generator, domain: str, mesh=None,
         (L_D, new_spectral), d_grads = jax.value_and_grad(disc_loss, has_aux=True)(
             disc_state.params
         )
-        disc_state = disc_state.apply_gradients(grads=d_grads)
+        if skip_nonfinite:
+            old_spectral = disc_state.spectral
+            disc_state, ok_d = _apply_or_skip(disc_state, d_grads)
+            if new_spectral is not None:
+                new_spectral = jax.tree.map(
+                    lambda n, o: jnp.where(ok_d, n, o), new_spectral, old_spectral)
+        else:
+            disc_state = disc_state.apply_gradients(grads=d_grads)
         disc_state = disc_state.replace(spectral=new_spectral)
 
         # --- generator update against the UPDATED discriminator
@@ -354,7 +384,12 @@ def make_train_step(h, generator, domain: str, mesh=None,
 
         (L_G, metrics), out_cotangents = jax.value_and_grad(gen_loss, has_aux=True)(outs)
         (g_grads,) = gen_vjp(out_cotangents)
-        gen_state = gen_state.apply_gradients(grads=g_grads)
+        if skip_nonfinite:
+            gen_state, ok_g = _apply_or_skip(gen_state, g_grads)
+            # skipped updates this step: 0 = none, 1 = D or G, 2 = both
+            metrics["skip"] = (1.0 - ok_d) + (1.0 - ok_g)
+        else:
+            gen_state = gen_state.apply_gradients(grads=g_grads)
 
         metrics["D"] = L_D
         return gen_state, disc_state, metrics

@@ -201,3 +201,35 @@ def test_grad_clip_state_is_checkpoint_compatible():
     s0 = make_optimizer(h0, 10).init(params)
     s1 = make_optimizer(h1, 10).init(params)
     assert jax.tree.structure(s0) == jax.tree.structure(s1)
+
+
+def test_skip_nonfinite_updates():
+    """h.skip_nonfinite_updates: a batch that produces non-finite grads
+    leaves BOTH states untouched (params, opt moments, step counter) and
+    reports metrics['skip']; the next healthy batch trains normally."""
+    from nvse_tpu.models import build_generator
+    from nvse_tpu.train.trainer import GANTrainer
+
+    h = _h(model_name="HiFiGAN", resblock="2",
+           upsample_rates=[8, 8, 2, 2], upsample_kernel_sizes=[16, 16, 4, 4],
+           upsample_initial_channel=16, resblock_kernel_sizes=[3],
+           resblock_dilation_sizes=[[1, 3]], skip_nonfinite_updates=True)
+    generator, domain = build_generator(h)
+    example = jnp.zeros((2, h.num_mels, h.segment_size // h.hop_size + 1))
+    tr = GANTrainer(h, generator, domain, jax.random.PRNGKey(0), 10, example)
+
+    g0 = jax.tree.map(lambda x: x.copy(), tr.gen_state.params)
+    d0 = jax.tree.map(lambda x: x.copy(), tr.disc_state.params)
+    step0 = int(tr.gen_state.step)
+
+    bad = _audio(2, h.segment_size).at[0, 10].set(jnp.nan)
+    m = tr.step(bad)
+    assert float(m["skip"]) == 2.0
+    assert _tree_l2_diff(tr.gen_state.params, g0) == 0.0
+    assert _tree_l2_diff(tr.disc_state.params, d0) == 0.0
+    assert int(tr.gen_state.step) == step0
+
+    m2 = tr.step(_audio(2, h.segment_size))
+    assert float(m2["skip"]) == 0.0
+    assert _tree_l2_diff(tr.gen_state.params, g0) > 0.0
+    assert int(tr.gen_state.step) == step0 + 1
