@@ -5,3 +5,4 @@ from .mcep import mcd_sptk, mcd_sptk_dtw, mcep_frames, sptk_extract
 from .world_f0 import dio_f0
 from .dtw import dtw_distance, dtw_path
 from .pesq import mnru, pesq_raw, pesq_wb
+from .visqol import nsim, visqol, visqol_nsim

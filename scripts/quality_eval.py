@@ -37,7 +37,7 @@ def main() -> None:
     from nvse_tpu.infer.engine import resolve_filelist
     from nvse_tpu.metrics import (estoi, evaluate_f0_metrics, lsd, mcd,
                                   mcd_dtw, mcd_sptk, mcd_sptk_dtw, pesq_wb,
-                                  snr, stoi)
+                                  snr, stoi, visqol)
     from nvse_tpu.utils import load_config
 
     h = load_config(args.cfg_filename)
@@ -69,6 +69,7 @@ def main() -> None:
             "mcd_sptk": mcd_sptk(ref, deg, sr),
             "mcd_sptk_dtw": mcd_sptk_dtw(ref, deg, sr),
             "snr": snr(ref, deg, sr),
+            "visqol": visqol(ref, deg, sr),
         }
         scores.update(evaluate_f0_metrics(ref, deg, sr))
         for k, v in scores.items():
