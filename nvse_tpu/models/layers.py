@@ -392,6 +392,12 @@ class LSTM(nn.Module):
     input_size: int
     hidden_size: int
     bidirectional: bool = False
+    # return_params: define this module's parameters (keeping the child
+    # name / checkpoint layout) but return them instead of scanning, so
+    # a parent can batch several independent unidirectional scans into
+    # one Pallas kernel (see gcrn.GLSTM: two group-LSTMs share each
+    # sequential grid step via ops.pallas_lstm.lstm_scan_bidir2).
+    return_params: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -419,6 +425,9 @@ class LSTM(nn.Module):
             return w_ih, w_hh, b
 
         w_ih_f, w_hh_f, b_f = direction_params("fwd")
+        if self.return_params:
+            assert not self.bidirectional
+            return w_ih_f, w_hh_f, b_f
         if not self.bidirectional:
             xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)  # time-major
             return jnp.swapaxes(lstm_scan(xg_f, w_hh_f), 0, 1)
