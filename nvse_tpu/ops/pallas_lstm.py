@@ -417,7 +417,9 @@ def _xla_lstm_fused_ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
 
 # VMEM budget guard: weights + double-buffered x/out tiles + f32 state
 # must fit in ~12 of the 16 MB. Models whose (C, H) exceed it (e.g. the
-# HD-Demucs 768->384 bottleneck BLSTM) fall back to the unfused path.
+# HD-Demucs H=768 bottleneck BLSTM: 38 MB of f32 weights) fall through
+# a tiered fallback — dual-dot kernel (only the two W_hh resident),
+# then per-direction kernels (one W_hh), then the pure XLA scan.
 _FUSED_VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -425,6 +427,20 @@ def _fused_vmem_bytes(Bt: int, C: int, H: int, itemsize: int) -> int:
     weights = 2 * (C * 4 * H + H * 4 * H + 4 * H) * itemsize
     tiles = 2 * 2 * (Bt * C + Bt * H) * itemsize  # 2 dirs x double buffer
     state = 4 * Bt * H * 4
+    return weights + tiles + state
+
+
+def _bidir2_vmem_bytes(Bt: int, H: int, itemsize: int) -> int:
+    weights = 2 * H * 4 * H * itemsize
+    tiles = 2 * 2 * (Bt * 4 * H + Bt * H) * itemsize  # 2 dirs x double buffer
+    state = 4 * Bt * H * 4
+    return weights + tiles + state
+
+
+def _scan_vmem_bytes(Bt: int, H: int, itemsize: int) -> int:
+    weights = H * 4 * H * itemsize
+    tiles = 2 * (Bt * 4 * H + Bt * H) * itemsize
+    state = 2 * Bt * H * 4
     return weights + tiles + state
 
 
@@ -483,9 +499,26 @@ def lstm_scan_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
     B, T, C = x.shape
     H = w_hh_f.shape[0]
     Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
-    if _fused_vmem_bytes(Bt, C, H, x.dtype.itemsize) > _FUSED_VMEM_BUDGET:
+    it = x.dtype.itemsize
+    if _fused_vmem_bytes(Bt, C, H, it) <= _FUSED_VMEM_BUDGET:
+        return _pallas_lstm_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+    # Weights too large for the fused kernel: precompute x_proj in XLA
+    # (one MXU matmul per direction) and keep the recurrence in Pallas,
+    # sharing each sequential step between directions when both W_hh fit.
+    xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)  # (T, B, 4H)
+    xg_b = jnp.swapaxes(jnp.flip(x, axis=1) @ w_ih_b + b_b, 0, 1)
+    if _bidir2_vmem_bytes(Bt, H, it) <= _FUSED_VMEM_BUDGET:
+        hs_f, hs_b = lstm_scan_bidir2(xg_f, xg_b, w_hh_f, w_hh_b)
+    elif _scan_vmem_bytes(Bt, H, it) <= _FUSED_VMEM_BUDGET:
+        hs_f = lstm_scan(xg_f, w_hh_f)
+        hs_b = lstm_scan(xg_b, w_hh_b)
+    else:  # W_hh alone exceeds VMEM: pure XLA scan
         return _xla_lstm_fused_ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
-    return _pallas_lstm_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
+    out = jnp.concatenate(
+        [jnp.swapaxes(hs_f, 0, 1), jnp.flip(jnp.swapaxes(hs_b, 0, 1), axis=1)],
+        axis=-1,
+    )
+    return out.astype(x.dtype)
 
 
 def _fused_fwd(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):

@@ -228,3 +228,42 @@ def test_fused_saving_fwd_bwd_interpret():
     for got, ref in zip(grads, refs):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_tiered_fallback_selection():
+    """HD-Demucs bottleneck BLSTM (C=H=768): f32 must route to the
+    per-direction kernel tier, bf16 to the shared dual-dot tier."""
+    from nvse_tpu.ops.pallas_lstm import (_FUSED_VMEM_BUDGET,
+                                          _bidir2_vmem_bytes,
+                                          _fused_vmem_bytes,
+                                          _scan_vmem_bytes)
+    Bt, C, H = 8, 768, 768
+    assert _fused_vmem_bytes(Bt, C, H, 4) > _FUSED_VMEM_BUDGET
+    assert _fused_vmem_bytes(Bt, C, H, 2) > _FUSED_VMEM_BUDGET
+    assert _bidir2_vmem_bytes(Bt, H, 4) > _FUSED_VMEM_BUDGET   # 19 MB
+    assert _scan_vmem_bytes(Bt, H, 4) <= _FUSED_VMEM_BUDGET    # 9.6 MB
+    assert _bidir2_vmem_bytes(Bt, H, 2) <= _FUSED_VMEM_BUDGET  # bf16 fits
+
+
+def test_tiered_fallback_matches_fused_ref_interpret():
+    """The dual-dot fallback composition (xg in XLA + bidir2 kernel +
+    concat/flip) must equal _xla_lstm_fused_ref numerics."""
+    from nvse_tpu.ops.pallas_lstm import (_pallas_lstm_scan_bidir2,
+                                          _xla_lstm_fused_ref)
+    rng = np.random.default_rng(7)
+    B, T, C, H = 3, 11, 10, 8
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32) * 0.5)
+    wif = jnp.asarray(rng.standard_normal((C, 4 * H)).astype(np.float32) * 0.2)
+    wib = jnp.asarray(rng.standard_normal((C, 4 * H)).astype(np.float32) * 0.2)
+    bf = jnp.asarray(rng.standard_normal(4 * H).astype(np.float32) * 0.1)
+    bb = jnp.asarray(rng.standard_normal(4 * H).astype(np.float32) * 0.1)
+    whf = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    whb = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    want = np.asarray(_xla_lstm_fused_ref(x, wif, wib, bf, bb, whf, whb))
+    xg_f = jnp.swapaxes(x @ wif + bf, 0, 1)
+    xg_b = jnp.swapaxes(jnp.flip(x, axis=1) @ wib + bb, 0, 1)
+    hs_f, hs_b = _pallas_lstm_scan_bidir2(xg_f, xg_b, whf, whb, interpret=True)
+    got = np.concatenate(
+        [np.swapaxes(np.asarray(hs_f), 0, 1),
+         np.flip(np.swapaxes(np.asarray(hs_b), 0, 1), axis=1)], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
