@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Periodicity RMSE / pitch RMSE (cents) / V-UV F1 over decoded wav dirs.
 
-Counterpart of reference Metrics/evaluate.py:35-76 (cargan + torchcrepe
-there; YIN pitch + YIN periodicity confidence here). Prints all three
-aggregates like the reference.
-    python Metrics/evaluate.py --ref_dir <clean> --deg_dir <decoded>
+Counterpart of reference Metrics/evaluate.py:35-76 (cargan +
+torchcrepe there). With NVSE_CREPE_CKPT pointing at the public
+torchcrepe full.pth, pitch/periodicity come from the CREPE network
+re-implemented in JAX (nvse_tpu/metrics/crepe_jax.py) on the
+reference's scale; without it, YIN pitch + YIN confidence stand in.
+Prints all three aggregates like the reference.
+    [NVSE_CREPE_CKPT=/path/full.pth] \
+        python Metrics/evaluate.py --ref_dir <clean> --deg_dir <decoded>
 """
 import os
 import sys

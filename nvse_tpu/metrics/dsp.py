@@ -16,6 +16,8 @@ algorithm is re-implemented in numpy from its published description:
 """
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 from scipy.fft import dct
 from scipy.signal import resample_poly
@@ -365,14 +367,40 @@ def yin_f0_conf(x: np.ndarray, sr: int, **kw):
     return f0, conf
 
 
+@_functools.lru_cache(maxsize=2)
+def _crepe_params(ckpt_path: str, model: str):
+    from .crepe_jax import load_params
+
+    return load_params(ckpt_path, model)
+
+
+# cargan's Pitch metric voicing threshold on CREPE periodicity
+_CREPE_VOICING_THRESHOLD = 0.1625
+
+
 def periodicity_metrics(ref: np.ndarray, deg: np.ndarray, sr: int) -> dict:
     """Periodicity RMSE, pitch RMSE (cents->Hz style), V/UV F1.
 
-    Counterpart of the reference Metrics/evaluate.py (cargan/torchcrepe
-    there; YIN periodicity confidence here).
+    Counterpart of the reference Metrics/evaluate.py (cargan +
+    torchcrepe there). With $NVSE_CREPE_CKPT pointing at the public
+    torchcrepe full.pth, pitch/periodicity come from the CREPE network
+    run in JAX (metrics/crepe_jax.py) on the reference scale;
+    otherwise YIN pitch + YIN confidence stand in.
     """
-    f0r, cr = yin_f0_conf(ref, sr)
-    f0d, cd = yin_f0_conf(deg, sr)
+    from .crepe_jax import (crepe_ckpt_from_env, crepe_model_from_env,
+                            predict_f0_periodicity)
+
+    ckpt = crepe_ckpt_from_env()
+    if ckpt is not None:
+        model = crepe_model_from_env()
+        params = _crepe_params(ckpt, model)
+        f0r, cr = predict_f0_periodicity(ref, sr, params, model)
+        f0d, cd = predict_f0_periodicity(deg, sr, params, model)
+        f0r = np.where(cr > _CREPE_VOICING_THRESHOLD, f0r, 0.0)
+        f0d = np.where(cd > _CREPE_VOICING_THRESHOLD, f0d, 0.0)
+    else:
+        f0r, cr = yin_f0_conf(ref, sr)
+        f0d, cd = yin_f0_conf(deg, sr)
     n = min(len(f0r), len(f0d))
     f0r, f0d, cr, cd = f0r[:n], f0d[:n], cr[:n], cd[:n]
     vr, vd = f0r > 0, f0d > 0

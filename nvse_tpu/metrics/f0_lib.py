@@ -210,17 +210,31 @@ def get_f0_features_using_harvest(audio, mel_len, fs, hop_length, f0_min, f0_max
 
 def get_f0_features_using_crepe(audio, mel_len, fs, hop_length,
                                 hop_length_new, f0_min, f0_max, threshold=0.3):
-    """torchcrepe-contract stand-in (f0.py:213-262): confidence-gated
-    F0 at 16 kHz / hop_length_new, median-filtered confidence, unvoiced
-    frames interpolated onto the original mel frame grid."""
+    """torchcrepe contract (f0.py:213-262): confidence-gated F0 at
+    16 kHz / hop_length_new, median-filtered confidence, unvoiced
+    frames interpolated onto the original mel frame grid. With
+    $NVSE_CREPE_CKPT set, F0/confidence come from the CREPE network in
+    JAX (metrics/crepe_jax.py); otherwise YIN stands in."""
+    from .crepe_jax import crepe_ckpt_from_env
+
     audio = np.asarray(audio, dtype=np.float64)
     if fs != 16000:
         t_new = np.arange(int(audio.size * 16000 / fs)) / 16000.0
         audio_16k = np.interp(t_new, np.arange(audio.size) / fs, audio)
     else:
         audio_16k = audio
-    f0, conf = yin_f0_conf(audio_16k, 16000, fmin=f0_min, fmax=f0_max,
-                           hop=hop_length_new)
+    ckpt = crepe_ckpt_from_env()
+    if ckpt is not None:
+        from .crepe_jax import crepe_model_from_env, load_params, \
+            predict_f0_periodicity
+
+        model = crepe_model_from_env()
+        f0, conf = predict_f0_periodicity(
+            audio_16k, 16000, load_params(ckpt, model), model,
+            fmin=f0_min, fmax=f0_max, hop=hop_length_new)
+    else:
+        f0, conf = yin_f0_conf(audio_16k, 16000, fmin=f0_min, fmax=f0_max,
+                               hop=hop_length_new)
     # median-filter the confidence track (torchcrepe.filter.median(pd, 3))
     if conf.size >= 3:
         conf = np.median(
