@@ -21,21 +21,28 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# name -> (config, h-overrides). BSRNN sizes follow the paper's S/M/L
+# (feature_dim 64/128/256, BASELINE.md); plain "BSRNN" is the shipped
+# BSRNN-M config, kept under its round-1 name for artifact continuity.
 CONFIGS = {
-    "HiFiGAN": "hifigan_v1_config.json",
-    "iSTFTNet": "istftnet_config.json",
-    "APNet": "apnet_config.json",
-    "APNet2": "apnet2_config.json",
-    "FreeV": "freeV_config.json",
-    "BSRNN": "bsrnn_config.json",
-    "GCRN": "gcrn_config.json",
-    "ConvTasNet": "convtasnet_config.json",
-    "HDDemucas": "hddemucas_config.json",
-    "Vocos": "vocos_config.json",
+    "HiFiGAN": ("hifigan_v1_config.json", None),
+    "iSTFTNet": ("istftnet_config.json", None),
+    "APNet": ("apnet_config.json", None),
+    "APNet2": ("apnet2_config.json", None),
+    "FreeV": ("freeV_config.json", None),
+    "BSRNN": ("bsrnn_config.json", None),
+    "BSRNN_S": ("bsrnn_config.json", {"feature_dim": 64}),
+    "BSRNN_L": ("bsrnn_config.json", {"feature_dim": 256}),
+    "GCRN": ("gcrn_config.json", None),
+    "ConvTasNet": ("convtasnet_config.json", None),
+    "HDDemucas": ("hddemucas_config.json", None),
+    "Vocos": ("vocos_config.json", None),
 }
 
 
-def bench_model(name: str, cfg_name: str, iters: int, B: int, T: int) -> dict:
+def bench_model(name: str, cfg_name: str, iters: int, B: int, T: int,
+                overrides: dict | None = None,
+                dtype: str = "float32") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -44,10 +51,15 @@ def bench_model(name: str, cfg_name: str, iters: int, B: int, T: int) -> dict:
 
     h = load_config(os.path.join(os.path.dirname(__file__), "..",
                                  "nvse_tpu", "configs", cfg_name))
+    for k, v in (overrides or {}).items():
+        h[k] = v
     gen, domain = build_generator(h)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((B, h.num_mels, T)).astype(np.float32) - 4.0)
     params = gen.init(jax.random.PRNGKey(0), mel[:1, :, :16])["params"]
+    if dtype == "bfloat16":
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+        mel = mel.astype(jnp.bfloat16)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
     from nvse_tpu.utils.flops import compiled_flops, mfu
@@ -82,6 +94,8 @@ def bench_model(name: str, cfg_name: str, iters: int, B: int, T: int) -> dict:
         "iters": iters,
         "compile_sec": round(compile_sec, 1),
     }
+    if dtype != "float32":
+        row["dtype"] = dtype
     row.update(mfu(flops, iters / wall))
     return row
 
@@ -95,6 +109,10 @@ def main() -> None:
     p.add_argument("--frames", type=int, default=1024)
     p.add_argument("--models", default=None,
                    help="comma-separated subset (default: all)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="inference compute dtype (bf16 halves the HBM "
+                        "stream of bandwidth-bound conv models)")
     args = p.parse_args()
 
     import jax
@@ -105,8 +123,9 @@ def main() -> None:
     rows = []
     for name in names:
         try:
-            row = bench_model(name, CONFIGS[name], args.iters, args.batch,
-                              args.frames)
+            cfg_name, overrides = CONFIGS[name]
+            row = bench_model(name, cfg_name, args.iters, args.batch,
+                              args.frames, overrides, args.dtype)
             print(json.dumps(row))
             rows.append(row)
         except Exception as e:  # keep sweeping; record the failure
