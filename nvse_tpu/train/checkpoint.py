@@ -14,6 +14,8 @@ import os
 import re
 import shutil
 
+import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -123,18 +125,20 @@ def restore_checkpoint(path: str, gen_state, disc_state):
     if cp_g is None or cp_do is None:
         return gen_state, disc_state, 0, -1
     ckptr = ocp.PyTreeCheckpointer()
-    g = ckptr.restore(os.path.abspath(cp_g), item={"generator": gen_state.params})
-    do = ckptr.restore(
-        os.path.abspath(cp_do),
-        item={
-            "disc_params": disc_state.params,
-            "spectral": disc_state.spectral,
-            "optim_g": gen_state.opt_state,
-            "optim_d": disc_state.opt_state,
-            "steps": 0,
-            "epoch": 0,
-        },
-    )
+    g = ckptr.restore(os.path.abspath(cp_g),
+                      item={"generator": gen_state.params},
+                      restore_args=_host_restore_args(
+                          {"generator": gen_state.params}))
+    do_item = {
+        "disc_params": disc_state.params,
+        "spectral": disc_state.spectral,
+        "optim_g": gen_state.opt_state,
+        "optim_d": disc_state.opt_state,
+        "steps": 0,
+        "epoch": 0,
+    }
+    do = ckptr.restore(os.path.abspath(cp_do), item=do_item,
+                       restore_args=_host_restore_args(do_item))
     gen_state = gen_state.replace(params=g["generator"], opt_state=do["optim_g"],
                                   step=do["steps"] + 1)
     disc_state = disc_state.replace(params=do["disc_params"], spectral=do["spectral"],
@@ -142,10 +146,28 @@ def restore_checkpoint(path: str, gen_state, disc_state):
     return gen_state, disc_state, int(do["steps"]) + 1, int(do["epoch"])
 
 
+def _host_restore_args(item):
+    """RestoreArgs tree: deserialize every leaf as a host numpy array.
+
+    Makes restore topology-independent — a bundle saved on TPU loads on
+    CPU (and vice versa) without orbax trying to resolve the saved
+    sharding against the current process's devices. Callers put arrays
+    on device (or shard them over a mesh) afterwards.
+    """
+    def leaf_args(v):
+        if isinstance(v, (int, float)):  # scalar metadata (steps/epoch)
+            return ocp.RestoreArgs()
+        return ocp.RestoreArgs(restore_type=np.ndarray)
+
+    return jax.tree.map(leaf_args, item)
+
+
 def load_generator_params(ckpt_path: str, params_template):
     """Load generator params from an explicit g_* bundle path
     (h.checkpoint_file_load, infers/inference_bsrnn.py:44)."""
     wait_for_checkpoints()
     ckptr = ocp.PyTreeCheckpointer()
-    out = ckptr.restore(os.path.abspath(ckpt_path), item={"generator": params_template})
+    item = {"generator": params_template}
+    out = ckptr.restore(os.path.abspath(ckpt_path), item=item,
+                        restore_args=_host_restore_args(item))
     return out["generator"]
