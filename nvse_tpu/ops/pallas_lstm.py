@@ -75,7 +75,7 @@ def _lstm_kernel(xp_ref, whh_ref, out_ref, h_scratch, c_scratch):
     h = o * jnp.tanh(c)
     c_scratch[...] = c
     h_scratch[...] = h
-    out_ref[0] = h
+    out_ref[0] = h.astype(out_ref.dtype)
 
 
 # Batch rows per tile. Each extra tile re-runs the whole sequential
@@ -267,7 +267,7 @@ def _dualdot_kernel(xf_ref, xb_ref, wf_ref, wb_ref, of_ref, ob_ref,
         h = o * jnp.tanh(c)
         c_s[...] = c
         h_s[...] = h
-        o_ref[0] = h
+        o_ref[0] = h.astype(o_ref.dtype)
 
     cell(xf_ref, wf_ref, hf_s, cf_s, of_ref)
     cell(xb_ref, wb_ref, hb_s, cb_s, ob_ref)

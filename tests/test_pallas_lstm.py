@@ -267,3 +267,20 @@ def test_tiered_fallback_matches_fused_ref_interpret():
         [np.swapaxes(np.asarray(hs_f), 0, 1),
          np.flip(np.swapaxes(np.asarray(hs_b), 0, 1), axis=1)], axis=-1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_kernels_accept_bf16_inputs_interpret():
+    """bf16 x_proj tiles must write bf16 outputs (f32 state math inside);
+    regression for the tiered-fallback path under compute_dtype=bf16."""
+    xp, whh = _data(T=9, B=4, H=8)
+    xpb = xp.astype(jnp.bfloat16)
+    want = np.asarray(_xla_lstm_scan(xp, whh))
+    got = _pallas_lstm_scan(xpb, whh, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=0.05, atol=0.05)
+    from nvse_tpu.ops.pallas_lstm import _pallas_lstm_scan_bidir2
+    gf, gb = _pallas_lstm_scan_bidir2(xpb, xpb, whh, whh, interpret=True)
+    assert gf.dtype == jnp.bfloat16 and gb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(gf, np.float32), want,
+                               rtol=0.05, atol=0.05)
