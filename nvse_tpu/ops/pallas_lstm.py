@@ -123,8 +123,11 @@ def lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
 def _fwd(x_proj, w_hh):
     if jax.default_backend() == "cpu" or pltpu is None:
         return _xla_lstm_scan(x_proj, w_hh), (None, x_proj, w_hh)
-    from .pallas_lstm_bwd import lstm_fwd_hc
+    from .pallas_lstm_bwd import lstm_fwd_hc, residual_path_feasible
 
+    if not residual_path_feasible(x_proj.shape[-1], w_hh.shape[0],
+                                  x_proj.dtype.itemsize):
+        return _xla_lstm_scan(x_proj, w_hh), (None, x_proj, w_hh)
     hs, cs = lstm_fwd_hc(x_proj, w_hh)
     return hs, ((hs, cs), x_proj, w_hh)
 
@@ -335,7 +338,11 @@ def _bidir2_fwd(xp_f, xp_b, w_f, w_b):
 
 def _bidir2_bwd(res, g):
     xp_f, xp_b, w_f, w_b = res
-    if jax.default_backend() == "cpu" or pltpu is None:
+    from .pallas_lstm_bwd import residual_path_feasible
+
+    if (jax.default_backend() == "cpu" or pltpu is None
+            or not residual_path_feasible(xp_f.shape[-1], w_f.shape[0],
+                                          xp_f.dtype.itemsize)):
         _, vjp = jax.vjp(_xla_lstm_scan_bidir2, xp_f, xp_b, w_f, w_b)
         return vjp(g)
     # TPU: recompute each direction's (hs, cs) with the Pallas forward and
@@ -530,7 +537,11 @@ def _fused_fwd(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
     # projection matmuls + lstm_fwd_hc per direction — exactly the
     # round-2 training path, and keep the fused kernel for primal-only
     # (inference) calls where custom_vjp never invokes this rule.
-    if jax.default_backend() == "cpu" or pltpu is None:
+    from .pallas_lstm_bwd import residual_path_feasible
+
+    H = w_hh_f.shape[0]
+    if (jax.default_backend() == "cpu" or pltpu is None
+            or not residual_path_feasible(4 * H, H, x.dtype.itemsize)):
         out = _xla_lstm_fused_ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
         return out, (None, x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
     out, saved = _fused_fwd_saving(x, w_ih_f, w_ih_b, b_f, b_b,

@@ -28,12 +28,50 @@ try:
 except Exception:  # pragma: no cover
     pltpu = None
 
-from .pallas_lstm import _MAX_BATCH_TILE
+from .pallas_lstm import _FUSED_VMEM_BUDGET, _MAX_BATCH_TILE
 
 # The backward kernel streams 5 tensors per step (x, h_prev, c, c_prev,
 # upstream dh) plus dx out — with double buffering a 1024-row tile just
 # overflows the 16 MB VMEM. Half-size tiles leave comfortable headroom.
 _MAX_BWD_TILE = 512
+
+
+def _fwd_hc_vmem_bytes(Bt: int, G: int, H: int, it: int) -> int:
+    # double-buffered x tile + h/c out tiles, resident W_hh, f32 state
+    return 2 * (Bt * G + 2 * Bt * H) * it + H * G * it + 2 * Bt * H * 4
+
+
+def _bwd_vmem_bytes(Bt: int, G: int, H: int, it: int) -> int:
+    # ins: x(G) + h_prev/c/c_prev/dh (4xH); outs: dx(G) + dW block —
+    # all double-buffered; resident W_hh; f32 dh/dc/dW scratch
+    tiles = 2 * (2 * Bt * G + 4 * Bt * H) * it
+    return tiles + 3 * H * G * it + (2 * Bt * H + H * G) * 4
+
+
+def residual_path_feasible(G: int, H: int, it: int) -> bool:
+    """True if the residual-saving fwd+bwd kernels fit VMEM at ANY tile.
+
+    For large H the resident W_hh plus the dW output/scratch blocks
+    alone exceed the budget (H=512: 16.4 MB at an 8-row tile) — the
+    custom-vjp rules must then fall back to XLA recompute autodiff
+    instead of emitting a kernel the TPU compiler will reject.
+    """
+    return (_fwd_hc_vmem_bytes(8, G, H, it) <= _FUSED_VMEM_BUDGET
+            and _bwd_vmem_bytes(8, G, H, it) <= _FUSED_VMEM_BUDGET)
+
+
+def _fit_tile(bytes_fn, B: int, start: int, G: int, H: int, it: int) -> int:
+    """Largest 8-multiple tile <= start whose VMEM estimate fits.
+
+    The fixed 1024/512 tiles overflow the 16 MB scoped VMEM once H
+    reaches 256 (observed: BSRNN-L feature_dim=256 band-BiLSTM,
+    f32[34,2048,256] residual outputs -> 18.04 MB > 16 MB); halving
+    until the estimate fits keeps big-H models on the Pallas path.
+    """
+    Bt = min(start, (B + 7) // 8 * 8)
+    while Bt > 8 and bytes_fn(Bt, G, H, it) > _FUSED_VMEM_BUDGET:
+        Bt = max(8, (Bt // 2 + 7) // 8 * 8)
+    return Bt
 
 
 def _fwd_kernel_hc(xp_ref, whh_ref, h_out, c_out, h_scratch, c_scratch):
@@ -63,7 +101,8 @@ def lstm_fwd_hc(x_proj: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = False)
     """(T, B, 4H), (H, 4H) -> (hs, cs), each (T, B, H)."""
     T, B, G = x_proj.shape
     H = w_hh.shape[0]
-    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    Bt = _fit_tile(_fwd_hc_vmem_bytes, B, _MAX_BATCH_TILE, G, H,
+                   x_proj.dtype.itemsize)
     nb = -(-B // Bt)
     B_pad = nb * Bt
     if B_pad != B:
@@ -139,7 +178,8 @@ def lstm_bwd(x_proj, hs, cs, dhs, w_hh, interpret: bool = False):
     """Reverse-time backward -> (dx_proj, dw_hh)."""
     T, B, G = x_proj.shape
     H = w_hh.shape[0]
-    Bt = min(_MAX_BWD_TILE, (B + 7) // 8 * 8)
+    Bt = _fit_tile(_bwd_vmem_bytes, B, _MAX_BWD_TILE, G, H,
+                   x_proj.dtype.itemsize)
     nb = -(-B // Bt)
     B_pad = nb * Bt
 

@@ -284,3 +284,50 @@ def test_kernels_accept_bf16_inputs_interpret():
     assert gf.dtype == jnp.bfloat16 and gb.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(gf, np.float32), want,
                                rtol=0.05, atol=0.05)
+
+
+def test_residual_tile_fit_and_feasibility():
+    # Regression for the BSRNN-L VMEM OOM: at feature_dim=256 the
+    # band-BiLSTM residual forward (f32[34,2048,256] outputs) blew the
+    # 16 MB scoped VMEM with the fixed 1024-row tile. The adaptive fit
+    # must (a) keep the flagship H=128 tiles unchanged, (b) shrink
+    # H=256 until the estimate fits, (c) declare H>=512 infeasible so
+    # the vjp rules fall back to XLA recompute.
+    from nvse_tpu.ops.pallas_lstm import _FUSED_VMEM_BUDGET, _MAX_BATCH_TILE
+    from nvse_tpu.ops.pallas_lstm_bwd import (_MAX_BWD_TILE, _bwd_vmem_bytes,
+                                              _fit_tile, _fwd_hc_vmem_bytes,
+                                              residual_path_feasible)
+
+    # flagship BSRNN-M band-BiLSTM shape: unchanged tiles
+    assert _fit_tile(_fwd_hc_vmem_bytes, 1040, _MAX_BATCH_TILE, 512, 128, 4) == 1024
+    assert _fit_tile(_bwd_vmem_bytes, 1040, _MAX_BWD_TILE, 512, 128, 4) == 512
+    # BSRNN-L: tiles shrink and the estimates fit the budget
+    bf = _fit_tile(_fwd_hc_vmem_bytes, 1040, _MAX_BATCH_TILE, 1024, 256, 4)
+    bb = _fit_tile(_bwd_vmem_bytes, 1040, _MAX_BWD_TILE, 1024, 256, 4)
+    assert bf < 1024 and _fwd_hc_vmem_bytes(bf, 1024, 256, 4) <= _FUSED_VMEM_BUDGET
+    assert bb < 512 and _bwd_vmem_bytes(bb, 1024, 256, 4) <= _FUSED_VMEM_BUDGET
+    assert residual_path_feasible(1024, 256, 4)
+    # HD-Demucs-class hidden sizes: W_hh + dW blocks alone exceed VMEM
+    assert not residual_path_feasible(2048, 512, 4)
+    assert not residual_path_feasible(3072, 768, 4)
+
+
+def test_residual_kernels_multi_tile_shrunken_interpret():
+    # Numeric parity through a genuinely SHRUNKEN tile (H=256 forces
+    # Bt<B): forward states and backward grads must match the XLA scan.
+    from nvse_tpu.ops.pallas_lstm_bwd import lstm_bwd, lstm_fwd_hc
+
+    T, B, H = 3, 600, 256
+    rng = np.random.default_rng(7)
+    xp = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * 0.3)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.05)
+    hs, cs = lstm_fwd_hc(xp, whh, interpret=True)
+    ref = np.asarray(_xla_lstm_scan(xp, whh))
+    np.testing.assert_allclose(np.asarray(hs), ref, rtol=2e-5, atol=2e-5)
+
+    g = jnp.ones_like(hs)
+    dx, dw = lstm_bwd(xp, hs, cs, g, whh, interpret=True)
+    _, vjp = jax.vjp(_xla_lstm_scan, xp, whh)
+    dx_ref, dw_ref = vjp(g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-3)
