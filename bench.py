@@ -17,6 +17,7 @@ denominator, so vs_baseline == value. The north-star target is >=10x
 (BASELINE.md).
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -36,7 +37,11 @@ def main() -> None:
     h = load_config("nvse_tpu/configs/bsrnn_config.json")
     gen, _domain = build_generator(h)
 
-    B, T = 8, 1024  # 8 utterances x 1024 frames (~11.9 s each @ hop 256)
+    # 8 utterances x 1024 frames (~11.9 s each @ hop 256) by default;
+    # NVSE_BENCH_BATCH overrides for max-throughput probing (the model
+    # is recurrence-latency-bound, so serving-style larger batches add
+    # audio-seconds at nearly constant wall time)
+    B, T = int(os.environ.get("NVSE_BENCH_BATCH", "8")), 1024
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((B, h.num_mels, T)).astype(np.float32) - 4.0)
     params = gen.init(jax.random.PRNGKey(0), mel[:1, :, :16])["params"]
@@ -73,6 +78,7 @@ def main() -> None:
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf, 2),
+        "batch": B,
     }
     if flops > 0:
         row.update(mfu(flops, iters / wall))
