@@ -53,6 +53,31 @@ def snr(ref: np.ndarray, deg: np.ndarray, sr: int) -> float:
     return float(10.0 * np.log10(np.sum(ref**2) / den))
 
 
+def si_snr(ref: np.ndarray, deg: np.ndarray, sr: int = 0) -> float:
+    """Scale-invariant SNR (SI-SDR, Le Roux et al. 2019) in dB.
+
+    The plain SNR above penalizes any global gain change, which makes it
+    misleading for resynthesis-style enhancers (the joint denoise model
+    re-synthesises the waveform from a predicted spectrum, so loudness
+    is not sample-locked to the input). SI-SNR projects the estimate
+    onto the reference first: s_t = <deg,ref>/||ref||^2 * ref,
+    e = deg - s_t, SI-SNR = 10 log10(||s_t||^2 / ||e||^2).
+    """
+    ref = ref - ref.mean()
+    deg = deg - deg.mean()
+    denom = float(np.sum(ref**2))
+    if denom <= 0:
+        return -np.inf
+    alpha = float(np.dot(deg, ref)) / denom
+    s_t = alpha * ref
+    err = deg - s_t
+    num = float(np.sum(s_t**2))
+    den = float(np.sum(err**2))
+    if den <= 0:
+        return np.inf
+    return float(10.0 * np.log10(max(num, 1e-30) / den))
+
+
 # ---------------------------------------------------------------------------
 # STOI (Taal et al.), following the published algorithm / pystoi structure
 # ---------------------------------------------------------------------------

@@ -35,7 +35,7 @@ def main() -> None:
 
     from nvse_tpu.data import load_wav, write_wav
     from nvse_tpu.infer.engine import InferenceEngine, resolve_filelist
-    from nvse_tpu.metrics import estoi, lsd, snr, stoi
+    from nvse_tpu.metrics import estoi, lsd, si_snr, snr, stoi
     from nvse_tpu.ops import amp_pha_spectrum
     from nvse_tpu.utils import load_config
 
@@ -50,8 +50,9 @@ def main() -> None:
     out_dir = os.path.join(h.test_output_dir, "enhanced")
     os.makedirs(out_dir, exist_ok=True)
 
-    rows = {"noisy": {m: [] for m in ("snr", "stoi", "estoi", "lsd")},
-            "enhanced": {m: [] for m in ("snr", "stoi", "estoi", "lsd")}}
+    metric_names = ("snr", "si_snr", "stoi", "estoi", "lsd")
+    rows = {"noisy": {m: [] for m in metric_names},
+            "enhanced": {m: [] for m in metric_names}}
     wall = audio_sec = 0.0
     for i, path in enumerate(files):
         clean = load_wav(path, sr)
@@ -83,6 +84,7 @@ def main() -> None:
             n = min(len(clean_t), len(deg))
             c, d = clean_t[:n], deg[:n]
             rows[tag]["snr"].append(snr(c, d, sr))
+            rows[tag]["si_snr"].append(si_snr(c, d, sr))
             rows[tag]["stoi"].append(stoi(c, d, sr))
             rows[tag]["estoi"].append(estoi(c, d, sr))
             rows[tag]["lsd"].append(lsd(c, d, sr))
@@ -93,7 +95,7 @@ def main() -> None:
     for tag in ("noisy", "enhanced"):
         for m, vals in rows[tag].items():
             rec[f"{tag}_{m}"] = round(float(np.mean(vals)), 4)
-    for m in ("snr", "stoi", "estoi", "lsd"):
+    for m in metric_names:
         rec[f"delta_{m}"] = round(rec[f"enhanced_{m}"] - rec[f"noisy_{m}"], 4)
     print(json.dumps(rec, indent=1))
     if args.out:

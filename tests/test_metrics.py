@@ -2,7 +2,8 @@
 import numpy as np
 import pytest
 
-from nvse_tpu.metrics import estoi, f0_metrics, lsd, mcd, snr, stoi, yin_f0
+from nvse_tpu.metrics import (estoi, f0_metrics, lsd, mcd, si_snr, snr, stoi,
+                              yin_f0)
 
 SR = 22050
 RNG = np.random.default_rng(3)
@@ -24,6 +25,26 @@ def test_snr_identity_and_noise():
     assert snr(x, x, SR) == np.inf
     s = snr(x, noisy, SR)
     assert 20 < s < 40
+
+
+def test_si_snr_scale_invariance_and_exact_value():
+    x = _speechish()
+    # scale invariance: a 0.5x gain kills plain SNR but not SI-SNR
+    assert snr(x, 0.5 * x, SR) < 10
+    assert si_snr(x, 0.5 * x, SR) > 80
+    # exact value on an orthogonal ref/noise pair: whole periods of
+    # sin vs cos are orthogonal, so SI-SNR == 10 log10(P_sig/P_noise)
+    t = np.arange(SR, dtype=np.float64)
+    ref = np.sin(2 * np.pi * 100 * t / SR)
+    noise = np.cos(2 * np.pi * 100 * t / SR)
+    for target_db in (0.0, 10.0, 25.0):
+        g = 10 ** (-target_db / 20.0)
+        got = si_snr(ref, ref + g * noise, SR)
+        assert abs(got - target_db) < 0.05, (target_db, got)
+    # ordering under growing additive noise
+    a = si_snr(x, x + 0.001 * RNG.standard_normal(len(x)), SR)
+    b = si_snr(x, x + 0.1 * RNG.standard_normal(len(x)), SR)
+    assert a > b
 
 
 def test_lsd_ordering():
