@@ -78,6 +78,54 @@ def _lstm_kernel(xp_ref, whh_ref, out_ref, h_scratch, c_scratch):
     out_ref[0] = h.astype(out_ref.dtype)
 
 
+def _lstm_kernel_unrolled(k: int):
+    """Unidirectional _lstm_kernel processing k time steps per grid
+    step (same overhead-amortization rationale as
+    _fused_kernel_unrolled; no validity mask needed — the time padding
+    trails the real steps, so pad outputs are computed-and-discarded
+    and never feed a real step's state)."""
+
+    def kernel(xp_ref, whh_ref, out_ref, h_scratch, c_scratch):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            h_scratch[...] = jnp.zeros_like(h_scratch)
+            c_scratch[...] = jnp.zeros_like(c_scratch)
+
+        h, c = h_scratch[...], c_scratch[...]
+        H = h.shape[-1]
+        whh = whh_ref[...]
+        for i in range(k):
+            gates = xp_ref[i] + jnp.dot(h, whh,
+                                        preferred_element_type=jnp.float32)
+            ig = jax.nn.sigmoid(gates[:, :H])
+            fg = jax.nn.sigmoid(gates[:, H : 2 * H])
+            gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+            og = jax.nn.sigmoid(gates[:, 3 * H :])
+            c = fg * c + ig * gg
+            h = og * jnp.tanh(c)
+            out_ref[i] = h.astype(out_ref.dtype)
+        h_scratch[...] = h
+        c_scratch[...] = c
+
+    return kernel
+
+
+def _scan_vmem_bytes_unrolled(k: int, Bt: int, H: int, itemsize: int) -> int:
+    weights = H * 4 * H * itemsize
+    tiles = 2 * (k * Bt * 4 * H + k * Bt * H) * itemsize
+    state = 2 * Bt * H * 4
+    return weights + tiles + state
+
+
+def _choose_scan_unroll(Bt: int, H: int, itemsize: int) -> int:
+    for k in (8, 4, 2):
+        if _scan_vmem_bytes_unrolled(k, Bt, H, itemsize) <= _FUSED_VMEM_BUDGET:
+            return k
+    return 1
+
+
 # Batch rows per tile. Each extra tile re-runs the whole sequential
 # T-loop, so prefer ONE tile whenever VMEM allows: at H=128, G=512 a
 # 1024-row tile costs ~6.3 MB (2x 2MB input buffers + 1MB out + 1MB
@@ -86,30 +134,35 @@ _MAX_BATCH_TILE = 1024
 
 
 def _pallas_lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      unroll: int | None = None) -> jnp.ndarray:
     T, B, G = x_proj.shape
     H = w_hh.shape[0]
     Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
     nb = -(-B // Bt)
     B_pad = nb * Bt
-    if B_pad != B:
-        x_proj = jnp.pad(x_proj, ((0, 0), (0, B_pad - B), (0, 0)))
+    k = (_choose_scan_unroll(Bt, H, x_proj.dtype.itemsize)
+         if unroll is None else unroll)
+    Tb = -(-T // k)
+    T_pad = Tb * k
+    if B_pad != B or T_pad != T:
+        x_proj = jnp.pad(x_proj, ((0, T_pad - T), (0, B_pad - B), (0, 0)))
     out = pl.pallas_call(
-        _lstm_kernel,
-        grid=(nb, T),
+        _lstm_kernel_unrolled(k) if k > 1 else _lstm_kernel,
+        grid=(nb, Tb),
         in_specs=[
-            pl.BlockSpec((1, Bt, G), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((k, Bt, G), lambda b, t: (t, b, 0)),
             pl.BlockSpec((H, G), lambda b, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, B_pad, H), x_proj.dtype),
+        out_specs=pl.BlockSpec((k, Bt, H), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((T_pad, B_pad, H), x_proj.dtype),
         scratch_shapes=[
             pltpu.VMEM((Bt, H), jnp.float32),
             pltpu.VMEM((Bt, H), jnp.float32),
         ] if pltpu is not None else [],
         interpret=interpret,
     )(x_proj, w_hh)
-    return out[:, :B, :]
+    return out[:T, :B, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -410,6 +463,140 @@ def _fused_kernel():
     return kernel
 
 
+def _fused_kernel_unrolled(k: int, t_real: int, tb: int):
+    """Fused bidirectional kernel processing k time steps per grid step.
+
+    Per-grid-step fixed cost (DMA sync, Mosaic dispatch) dominates the
+    recurrence: at H=128 the per-step cell math is ~0.1 us of MXU work
+    against ~2.4 us wall (PERF.md roofline). Unrolling k micro-steps
+    inside one grid step amortizes that overhead k-fold; the input/out
+    tiles grow k-fold (VMEM-budgeted by _choose_fused_unroll) while
+    total HBM traffic is unchanged.
+
+    The time axis is padded to a multiple of k. Forward pad steps only
+    produce out-rows >= t_real, which the caller slices off. The
+    backward direction meets the pad block FIRST (reversed index map),
+    so its state updates are masked to valid steps; masked rows write
+    the un-updated state (zeros) into sliced-off positions.
+    """
+
+    def kernel(xf_ref, xb_ref, wif_ref, wib_ref, bf_ref, bb_ref,
+               whf_ref, whb_ref, of_ref, ob_ref, hf_s, cf_s, hb_s, cb_s):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            hf_s[...] = jnp.zeros_like(hf_s)
+            cf_s[...] = jnp.zeros_like(cf_s)
+            hb_s[...] = jnp.zeros_like(hb_s)
+            cb_s[...] = jnp.zeros_like(cb_s)
+
+        H = hf_s.shape[-1]
+
+        def gates_to_hc(gates, c_prev):
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H : 2 * H])
+            g = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H :])
+            c = f * c_prev + i * g
+            return o * jnp.tanh(c), c
+
+        # forward: micro-steps ascend within the block
+        h, c = hf_s[...], cf_s[...]
+        wif, whf, bf = wif_ref[...], whf_ref[...], bf_ref[0]
+        for i in range(k):
+            gates = (jnp.dot(xf_ref[i], wif, preferred_element_type=jnp.float32)
+                     + jnp.dot(h, whf, preferred_element_type=jnp.float32)
+                     + bf)
+            h, c = gates_to_hc(gates, c)
+            of_ref[i] = h.astype(of_ref.dtype)
+        hf_s[...] = h
+        cf_s[...] = c
+
+        # backward: this grid step holds original times
+        # [blk*k, blk*k + k) with blk descending; micro-steps descend
+        blk = tb - 1 - t
+        h, c = hb_s[...], cb_s[...]
+        wib, whb, bb = wib_ref[...], whb_ref[...], bb_ref[0]
+        for i in range(k - 1, -1, -1):
+            gates = (jnp.dot(xb_ref[i], wib, preferred_element_type=jnp.float32)
+                     + jnp.dot(h, whb, preferred_element_type=jnp.float32)
+                     + bb)
+            h2, c2 = gates_to_hc(gates, c)
+            valid = blk * k + i < t_real
+            h = jnp.where(valid, h2, h)
+            c = jnp.where(valid, c2, c)
+            ob_ref[i] = h.astype(ob_ref.dtype)
+        hb_s[...] = h
+        cb_s[...] = c
+
+    return kernel
+
+
+def _fused_vmem_bytes_unrolled(k: int, Bt: int, C: int, H: int,
+                               itemsize: int) -> int:
+    weights = 2 * (C * 4 * H + H * 4 * H + 4 * H) * itemsize
+    tiles = 2 * 2 * (k * Bt * C + k * Bt * H) * itemsize
+    state = 4 * Bt * H * 4
+    return weights + tiles + state
+
+
+def _choose_fused_unroll(Bt: int, C: int, H: int, itemsize: int) -> int:
+    for k in (8, 4, 2):
+        if _fused_vmem_bytes_unrolled(k, Bt, C, H, itemsize) <= _FUSED_VMEM_BUDGET:
+            return k
+    return 1
+
+
+def _pallas_lstm_fused_unrolled(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b,
+                                k: int, interpret: bool = False):
+    B, T, C = x.shape
+    H = w_hh_f.shape[0]
+    xt = jnp.swapaxes(x, 0, 1)  # (T, B, C) time-major tiles
+    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    nb = -(-B // Bt)
+    B_pad = nb * Bt
+    Tb = -(-T // k)
+    T_pad = Tb * k
+    if B_pad != B or T_pad != T:
+        xt = jnp.pad(xt, ((0, T_pad - T), (0, B_pad - B), (0, 0)))
+    b2_f = b_f.reshape(1, -1)
+    b2_b = b_b.reshape(1, -1)
+    Tbm1 = Tb - 1
+    hs_f, hs_b = pl.pallas_call(
+        _fused_kernel_unrolled(k, T, Tb),
+        grid=(nb, Tb),
+        in_specs=[
+            pl.BlockSpec((k, Bt, C), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((k, Bt, C), lambda b, t: (Tbm1 - t, b, 0)),
+            pl.BlockSpec((C, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((C, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, Bt, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((k, Bt, H), lambda b, t: (Tbm1 - t, b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, B_pad, H), x.dtype),
+            jax.ShapeDtypeStruct((T_pad, B_pad, H), x.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(xt, xt, w_ih_f, w_ih_b, b2_f, b2_b, w_hh_f, w_hh_b)
+    # hs_b comes out already unflipped (reversed out index map)
+    out = jnp.concatenate([hs_f[:T, :B], hs_b[:T, :B]], axis=-1)
+    return jnp.swapaxes(out, 0, 1)
+
+
 def _xla_lstm_fused_ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
     """Reference semantics: (B, T, C) -> (B, T, 2H) torch-BiLSTM order."""
     xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)
@@ -508,6 +695,10 @@ def lstm_scan_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
     Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
     it = x.dtype.itemsize
     if _fused_vmem_bytes(Bt, C, H, it) <= _FUSED_VMEM_BUDGET:
+        k = _choose_fused_unroll(Bt, C, H, it)
+        if k > 1:
+            return _pallas_lstm_fused_unrolled(
+                x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b, k)
         return _pallas_lstm_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
     # Weights too large for the fused kernel: precompute x_proj in XLA
     # (one MXU matmul per direction) and keep the recurrence in Pallas,

@@ -331,3 +331,66 @@ def test_residual_kernels_multi_tile_shrunken_interpret():
     dx_ref, dw_ref = vjp(g)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-3)
+
+
+def test_fused_unrolled_matches_ref_interpret():
+    # k=4 with T=13 exercises time padding (pad block is the FIRST one
+    # the reversed backward direction meets — masked state updates).
+    from nvse_tpu.ops.pallas_lstm import (_pallas_lstm_fused_unrolled,
+                                          _xla_lstm_fused_ref)
+    args = _fused_data()
+    ref = np.asarray(_xla_lstm_fused_ref(*args))
+    for k in (2, 4, 8):
+        got = np.asarray(_pallas_lstm_fused_unrolled(*args, k=k,
+                                                     interpret=True))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"unroll k={k}")
+
+
+def test_fused_unrolled_exact_multiple_and_batch_pad_interpret():
+    from nvse_tpu.ops.pallas_lstm import (_pallas_lstm_fused_unrolled,
+                                          _xla_lstm_fused_ref)
+    # T=16 divisible by k=4; B=20 pads to 24 rows
+    args = _fused_data(T=16, B=20, seed=9)
+    ref = np.asarray(_xla_lstm_fused_ref(*args))
+    got = np.asarray(_pallas_lstm_fused_unrolled(*args, k=4, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_unrolled_t_smaller_than_k_interpret():
+    from nvse_tpu.ops.pallas_lstm import (_pallas_lstm_fused_unrolled,
+                                          _xla_lstm_fused_ref)
+    args = _fused_data(T=3, seed=11)  # single, mostly-padded block
+    ref = np.asarray(_xla_lstm_fused_ref(*args))
+    got = np.asarray(_pallas_lstm_fused_unrolled(*args, k=8, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_choose_fused_unroll_budget():
+    from nvse_tpu.ops.pallas_lstm import (_FUSED_VMEM_BUDGET,
+                                          _choose_fused_unroll,
+                                          _fused_vmem_bytes_unrolled)
+    # BSRNN-M time-LSTM shape: the chosen k must fit the budget and be
+    # maximal among the candidates
+    Bt, C, H, it = 240, 128, 128, 4
+    k = _choose_fused_unroll(Bt, C, H, it)
+    assert k >= 4
+    assert _fused_vmem_bytes_unrolled(k, Bt, C, H, it) <= _FUSED_VMEM_BUDGET
+    if k < 8:
+        assert _fused_vmem_bytes_unrolled(2 * k, Bt, C, H, it) > _FUSED_VMEM_BUDGET
+    # huge rows force k=1 (falls back to the non-unrolled kernel)
+    assert _choose_fused_unroll(1024, 768, 768, 4) == 1
+
+
+def test_scan_unrolled_matches_xla_interpret():
+    from nvse_tpu.ops.pallas_lstm import _pallas_lstm_scan
+    T, B, H = 13, 10, 16
+    rng = np.random.default_rng(21)
+    xp = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * 0.3)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1)
+    ref = np.asarray(_xla_lstm_scan(xp, whh))
+    for k in (2, 4, 8, 16):  # 16 > T: single mostly-padded block
+        got = np.asarray(_pallas_lstm_scan(xp, whh, interpret=True, unroll=k))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"unroll k={k}")
