@@ -60,18 +60,75 @@ def residual_path_feasible(G: int, H: int, it: int) -> bool:
             and _bwd_vmem_bytes(8, G, H, it) <= _FUSED_VMEM_BUDGET)
 
 
-def _fit_tile(bytes_fn, B: int, start: int, G: int, H: int, it: int) -> int:
+def _fit_tile(bytes_fn, B: int, start: int, G: int, H: int, it: int,
+              unroll: int = 1) -> int:
     """Largest 8-multiple tile <= start whose VMEM estimate fits.
 
     The fixed 1024/512 tiles overflow the 16 MB scoped VMEM once H
     reaches 256 (observed: BSRNN-L feature_dim=256 band-BiLSTM,
     f32[34,2048,256] residual outputs -> 18.04 MB > 16 MB); halving
     until the estimate fits keeps big-H models on the Pallas path.
+
+    With unroll > 1 the streamed tiles are k-fold larger; estimating
+    via bytes_fn(k*Bt) also scales the resident weight/state terms —
+    a conservative overcount, never an undercount.
     """
     Bt = min(start, (B + 7) // 8 * 8)
-    while Bt > 8 and bytes_fn(Bt, G, H, it) > _FUSED_VMEM_BUDGET:
+    while Bt > 8 and bytes_fn(unroll * Bt, G, H, it) > _FUSED_VMEM_BUDGET:
         Bt = max(8, (Bt // 2 + 7) // 8 * 8)
     return Bt
+
+
+def _choose_tile_and_unroll(bytes_fn, B: int, T: int, start: int, G: int,
+                            H: int, it: int) -> tuple[int, int]:
+    """Pick (Bt, k) minimizing total sequential grid steps
+    ceil(B/Bt) * ceil(T/k); tie-break toward larger k (fewer, fatter
+    steps amortize per-step overhead). bytes_fn(Bt, G, H, it) estimates
+    VMEM for ONE time step; tiles scale linearly with k, the resident
+    weights/state do not, so the k-step estimate is
+    bytes_fn(k*Bt,...) - (k-1)*(fixed) — approximated conservatively by
+    bytes_fn at k*Bt (overcounts fixed terms, never undercounts)."""
+    best = None
+    for k in (8, 4, 2, 1):
+        Bt = _fit_tile(bytes_fn, B, start, G, H, it, unroll=k)
+        steps = -(-B // Bt) * -(-T // k)
+        cand = (steps, -k, Bt)
+        if best is None or cand < best:
+            best = cand
+    return best[2], -best[1]
+
+
+def _fwd_kernel_hc_unrolled(k: int):
+    """k-step unrolled _fwd_kernel_hc (same overhead amortization as
+    pallas_lstm._lstm_kernel_unrolled; trailing time pads are computed
+    and sliced off — they never feed a real step)."""
+
+    def kernel(xp_ref, whh_ref, h_out, c_out, h_scratch, c_scratch):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            h_scratch[...] = jnp.zeros_like(h_scratch)
+            c_scratch[...] = jnp.zeros_like(c_scratch)
+
+        h, c = h_scratch[...], c_scratch[...]
+        H = h.shape[-1]
+        whh = whh_ref[...]
+        for i in range(k):
+            gates = xp_ref[i] + jnp.dot(h, whh,
+                                        preferred_element_type=jnp.float32)
+            ig = jax.nn.sigmoid(gates[:, :H])
+            fg = jax.nn.sigmoid(gates[:, H : 2 * H])
+            gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+            og = jax.nn.sigmoid(gates[:, 3 * H :])
+            c = fg * c + ig * gg
+            h = og * jnp.tanh(c)
+            h_out[i] = h.astype(h_out.dtype)
+            c_out[i] = c.astype(c_out.dtype)
+        h_scratch[...] = h
+        c_scratch[...] = c
+
+    return kernel
 
 
 def _fwd_kernel_hc(xp_ref, whh_ref, h_out, c_out, h_scratch, c_scratch):
@@ -97,30 +154,39 @@ def _fwd_kernel_hc(xp_ref, whh_ref, h_out, c_out, h_scratch, c_scratch):
     c_out[0] = c
 
 
-def lstm_fwd_hc(x_proj: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = False):
+def lstm_fwd_hc(x_proj: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = False,
+                unroll: int | None = None):
     """(T, B, 4H), (H, 4H) -> (hs, cs), each (T, B, H)."""
     T, B, G = x_proj.shape
     H = w_hh.shape[0]
-    Bt = _fit_tile(_fwd_hc_vmem_bytes, B, _MAX_BATCH_TILE, G, H,
-                   x_proj.dtype.itemsize)
+    it = x_proj.dtype.itemsize
+    if unroll is None:
+        Bt, k = _choose_tile_and_unroll(_fwd_hc_vmem_bytes, B, T,
+                                        _MAX_BATCH_TILE, G, H, it)
+    else:
+        k = unroll
+        Bt = _fit_tile(_fwd_hc_vmem_bytes, B, _MAX_BATCH_TILE, G, H, it,
+                       unroll=k)
     nb = -(-B // Bt)
     B_pad = nb * Bt
-    if B_pad != B:
-        x_proj = jnp.pad(x_proj, ((0, 0), (0, B_pad - B), (0, 0)))
+    Tb = -(-T // k)
+    T_pad = Tb * k
+    if B_pad != B or T_pad != T:
+        x_proj = jnp.pad(x_proj, ((0, T_pad - T), (0, B_pad - B), (0, 0)))
     hs, cs = pl.pallas_call(
-        _fwd_kernel_hc,
-        grid=(nb, T),
+        _fwd_kernel_hc_unrolled(k) if k > 1 else _fwd_kernel_hc,
+        grid=(nb, Tb),
         in_specs=[
-            pl.BlockSpec((1, Bt, G), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((k, Bt, G), lambda b, t: (t, b, 0)),
             pl.BlockSpec((H, G), lambda b, t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((k, Bt, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((k, Bt, H), lambda b, t: (t, b, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B_pad, H), x_proj.dtype),
-            jax.ShapeDtypeStruct((T, B_pad, H), x_proj.dtype),
+            jax.ShapeDtypeStruct((T_pad, B_pad, H), x_proj.dtype),
+            jax.ShapeDtypeStruct((T_pad, B_pad, H), x_proj.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((Bt, H), jnp.float32),
@@ -128,7 +194,7 @@ def lstm_fwd_hc(x_proj: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = False)
         ] if pltpu is not None else [],
         interpret=interpret,
     )(x_proj, w_hh)
-    return hs[:, :B, :], cs[:, :B, :]
+    return hs[:T, :B, :], cs[:T, :B, :]
 
 
 def _bwd_kernel(xp_ref, hprev_ref, c_ref, cprev_ref, dh_up_ref, whh_ref,
@@ -174,45 +240,114 @@ def _bwd_kernel(xp_ref, hprev_ref, c_ref, cprev_ref, dh_up_ref, whh_ref,
         dw_ref[0] = dw_scratch[...]
 
 
-def lstm_bwd(x_proj, hs, cs, dhs, w_hh, interpret: bool = False):
+def _bwd_kernel_unrolled(k: int):
+    """k-step unrolled _bwd_kernel. The reversed scan meets the time
+    pads FIRST, but no validity mask is needed: the pad rows of every
+    streamed tensor are zeros and the backward cell math is
+    zero-preserving there (dh = 0 + 0, dc = 0 -> all four dgates are
+    products with dc or dh -> 0 -> the dh/dc carries and dW update stay
+    exactly zero until the first real step)."""
+
+    def kernel(xp_ref, hprev_ref, c_ref, cprev_ref, dh_up_ref, whh_ref,
+               dx_ref, dw_ref, dh_scratch, dc_scratch, dw_scratch):
+        t = pl.program_id(1)
+        Tb = pl.num_programs(1)
+
+        @pl.when(t == 0)
+        def _():
+            dh_scratch[...] = jnp.zeros_like(dh_scratch)
+            dc_scratch[...] = jnp.zeros_like(dc_scratch)
+            dw_scratch[...] = jnp.zeros_like(dw_scratch)
+
+        w = whh_ref[...]
+        wT = w.T
+        dh_c = dh_scratch[...]
+        dc_c = dc_scratch[...]
+        dw_acc = dw_scratch[...]
+        H = dh_c.shape[-1]
+        for i in range(k - 1, -1, -1):  # reversed global time
+            h_prev = hprev_ref[i]
+            gates = xp_ref[i] + jnp.dot(h_prev, w,
+                                        preferred_element_type=jnp.float32)
+            ig = jax.nn.sigmoid(gates[:, :H])
+            fg = jax.nn.sigmoid(gates[:, H : 2 * H])
+            gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+            og = jax.nn.sigmoid(gates[:, 3 * H :])
+
+            tc = jnp.tanh(c_ref[i])
+            dh = dh_up_ref[i] + dh_c
+            dc = dc_c + dh * og * (1.0 - tc * tc)
+
+            dgi = dc * gg * ig * (1.0 - ig)
+            dgf = dc * cprev_ref[i] * fg * (1.0 - fg)
+            dgg = dc * ig * (1.0 - gg * gg)
+            dgo = dh * tc * og * (1.0 - og)
+            dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
+
+            dx_ref[i] = dgates.astype(dx_ref.dtype)
+            dh_c = jnp.dot(dgates, wT, preferred_element_type=jnp.float32)
+            dc_c = dc * fg
+            dw_acc = dw_acc + jnp.dot(h_prev.T, dgates,
+                                      preferred_element_type=jnp.float32)
+        dh_scratch[...] = dh_c
+        dc_scratch[...] = dc_c
+        dw_scratch[...] = dw_acc
+
+        @pl.when(t == Tb - 1)
+        def _():
+            dw_ref[0] = dw_scratch[...].astype(dw_ref.dtype)
+
+    return kernel
+
+
+def lstm_bwd(x_proj, hs, cs, dhs, w_hh, interpret: bool = False,
+             unroll: int | None = None):
     """Reverse-time backward -> (dx_proj, dw_hh)."""
     T, B, G = x_proj.shape
     H = w_hh.shape[0]
-    Bt = _fit_tile(_bwd_vmem_bytes, B, _MAX_BWD_TILE, G, H,
-                   x_proj.dtype.itemsize)
+    it = x_proj.dtype.itemsize
+    if unroll is None:
+        Bt, k = _choose_tile_and_unroll(_bwd_vmem_bytes, B, T,
+                                        _MAX_BWD_TILE, G, H, it)
+    else:
+        k = unroll
+        Bt = _fit_tile(_bwd_vmem_bytes, B, _MAX_BWD_TILE, G, H, it, unroll=k)
     nb = -(-B // Bt)
     B_pad = nb * Bt
+    Tb = -(-T // k)
+    T_pad = Tb * k
 
-    def padb(a):
-        if B_pad != B:
-            return jnp.pad(a, ((0, 0), (0, B_pad - B), (0, 0)))
+    def padtb(a):
+        if B_pad != B or T_pad != T:
+            return jnp.pad(a, ((0, T_pad - T), (0, B_pad - B), (0, 0)))
         return a
 
     zeros = jnp.zeros((1, B, H), x_proj.dtype)
-    h_prev = padb(jnp.concatenate([zeros, hs[:-1]], axis=0))
-    c_prev = padb(jnp.concatenate([zeros, cs[:-1]], axis=0))
-    x_proj = padb(x_proj)
-    cs = padb(cs)
-    dhs = padb(dhs)
+    h_prev = padtb(jnp.concatenate([zeros, hs[:-1]], axis=0))
+    c_prev = padtb(jnp.concatenate([zeros, cs[:-1]], axis=0))
+    x_proj = padtb(x_proj)
+    cs = padtb(cs)
+    dhs = padtb(dhs)
 
-    rev = lambda b, t: (T - 1 - t, b, 0)  # reversed time
+    Tbm1 = Tb - 1
+    rev = lambda b, t: (Tbm1 - t, b, 0)  # reversed time blocks
     dx, dw = pl.pallas_call(
-        _bwd_kernel,
-        grid=(nb, T),
+        _bwd_kernel_unrolled(k) if k > 1 else _bwd_kernel,
+        grid=(nb, Tb),
         in_specs=[
-            pl.BlockSpec((1, Bt, G), rev),        # x_proj
-            pl.BlockSpec((1, Bt, H), rev),        # h_prev
-            pl.BlockSpec((1, Bt, H), rev),        # c
-            pl.BlockSpec((1, Bt, H), rev),        # c_prev
-            pl.BlockSpec((1, Bt, H), rev),        # upstream dh
+            pl.BlockSpec((k, Bt, G), rev),        # x_proj
+            pl.BlockSpec((k, Bt, H), rev),        # h_prev
+            pl.BlockSpec((k, Bt, H), rev),        # c
+            pl.BlockSpec((k, Bt, H), rev),        # c_prev
+            pl.BlockSpec((k, Bt, H), rev),        # upstream dh
             pl.BlockSpec((H, G), lambda b, t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, Bt, G), rev),
+            pl.BlockSpec((k, Bt, G), rev),
             pl.BlockSpec((1, H, G), lambda b, t: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B_pad, G), x_proj.dtype),
+            jax.ShapeDtypeStruct((T_pad, B_pad, G), x_proj.dtype),
             jax.ShapeDtypeStruct((nb, H, G), x_proj.dtype),
         ],
         scratch_shapes=[
@@ -222,4 +357,4 @@ def lstm_bwd(x_proj, hs, cs, dhs, w_hh, interpret: bool = False):
         ] if pltpu is not None else [],
         interpret=interpret,
     )(x_proj, h_prev, cs, c_prev, dhs, w_hh)
-    return dx[:, :B, :], jnp.sum(dw, axis=0)
+    return dx[:T, :B, :], jnp.sum(dw, axis=0)

@@ -394,3 +394,59 @@ def test_scan_unrolled_matches_xla_interpret():
         got = np.asarray(_pallas_lstm_scan(xp, whh, interpret=True, unroll=k))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5,
                                    err_msg=f"unroll k={k}")
+
+
+def test_fwd_hc_unrolled_matches_interpret():
+    from nvse_tpu.ops.pallas_lstm_bwd import lstm_fwd_hc
+    T, B, H = 13, 10, 16
+    rng = np.random.default_rng(31)
+    xp = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * 0.3)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1)
+    hs1, cs1 = lstm_fwd_hc(xp, whh, interpret=True, unroll=1)
+    for k in (2, 4, 8, 16):
+        hs, cs = lstm_fwd_hc(xp, whh, interpret=True, unroll=k)
+        np.testing.assert_allclose(np.asarray(hs), np.asarray(hs1),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"k={k}")
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(cs1),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"k={k}")
+
+
+def test_bwd_unrolled_matches_interpret():
+    # reversed scan meets the zero pad block first; grads must match
+    # the k=1 kernel and the XLA vjp exactly
+    from nvse_tpu.ops.pallas_lstm_bwd import lstm_bwd, lstm_fwd_hc
+    T, B, H = 13, 10, 16
+    rng = np.random.default_rng(33)
+    xp = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * 0.3)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.05)
+    hs, cs = lstm_fwd_hc(xp, whh, interpret=True, unroll=1)
+    g = jnp.asarray(rng.standard_normal((T, B, H)).astype(np.float32))
+    dx1, dw1 = lstm_bwd(xp, hs, cs, g, whh, interpret=True, unroll=1)
+    _, vjp = jax.vjp(_xla_lstm_scan, xp, whh)
+    dx_ref, dw_ref = vjp(g)
+    for k in (2, 4, 8, 16):
+        dx, dw = lstm_bwd(xp, hs, cs, g, whh, interpret=True, unroll=k)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx1),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"k={k}")
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw1),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"k={k}")
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw_ref),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_choose_tile_and_unroll_never_shrinks_throughput():
+    # unroll must never be bought by shrinking the batch tile into MORE
+    # total grid steps than the k=1 choice
+    from nvse_tpu.ops.pallas_lstm_bwd import (_bwd_vmem_bytes,
+                                              _choose_tile_and_unroll,
+                                              _fit_tile, _fwd_hc_vmem_bytes)
+    for fn, start in ((_fwd_hc_vmem_bytes, 1024), (_bwd_vmem_bytes, 512)):
+        for (B, T, G, H) in ((480, 65, 512, 128), (1040, 30, 512, 128),
+                             (480, 65, 1024, 256), (8192, 30, 512, 128)):
+            Bt1 = _fit_tile(fn, B, start, G, H, 4)
+            base_steps = -(-B // Bt1) * T
+            Bt, k = _choose_tile_and_unroll(fn, B, T, start, G, H, 4)
+            steps = -(-B // Bt) * -(-T // k)
+            assert steps <= base_steps, (B, T, G, H, Bt, k)
