@@ -501,6 +501,13 @@ def _fused_kernel_unrolled(k: int, t_real: int, tb: int):
             c = f * c_prev + i * g
             return o * jnp.tanh(c), c
 
+        # Note: hoisting all k input projections into one batched
+        # (k*Bt, C) @ (C, 4H) dot per direction was tried and measured
+        # NO faster on v5e (the x-proj dot is off the critical path
+        # either way; the wall is the dependent h @ W_hh + VPU chain)
+        # while its live (k*Bt, 4H) f32 temporaries cost enough VMEM to
+        # shrink the feasible k. Per-micro-step dots keep k maximal.
+
         # forward: micro-steps ascend within the block
         h, c = hf_s[...], cf_s[...]
         wif, whf, bf = wif_ref[...], whf_ref[...], bf_ref[0]
