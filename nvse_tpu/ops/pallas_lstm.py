@@ -120,6 +120,8 @@ def _scan_vmem_bytes_unrolled(k: int, Bt: int, H: int, itemsize: int) -> int:
 
 
 def _choose_scan_unroll(Bt: int, H: int, itemsize: int) -> int:
+    if H % 128:  # sub-lane-width H: k>1 blocks crash the TPU compiler
+        return 1  # (observed: BSRNN-S H=64 remote-compile abort)
     for k in (8, 4, 2):
         if _scan_vmem_bytes_unrolled(k, Bt, H, itemsize) <= _FUSED_VMEM_BUDGET:
             return k
@@ -549,6 +551,8 @@ def _fused_vmem_bytes_unrolled(k: int, Bt: int, C: int, H: int,
 
 
 def _choose_fused_unroll(Bt: int, C: int, H: int, itemsize: int) -> int:
+    if H % 128 or C % 128:  # sub-lane-width blocks crash the TPU
+        return 1            # compiler (observed: BSRNN-S H=64)
     for k in (8, 4, 2):
         if _fused_vmem_bytes_unrolled(k, Bt, C, H, itemsize) <= _FUSED_VMEM_BUDGET:
             return k

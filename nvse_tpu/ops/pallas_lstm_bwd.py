@@ -87,7 +87,12 @@ def _choose_tile_and_unroll(bytes_fn, B: int, T: int, start: int, G: int,
     VMEM for ONE time step; tiles scale linearly with k, the resident
     weights/state do not, so the k-step estimate is
     bytes_fn(k*Bt,...) - (k-1)*(fixed) — approximated conservatively by
-    bytes_fn at k*Bt (overcounts fixed terms, never undercounts)."""
+    bytes_fn at k*Bt (overcounts fixed terms, never undercounts).
+
+    Sub-lane-width H (e.g. BSRNN-S H=64) forces k=1: k>1 blocks with a
+    last dim < 128 lanes crash the TPU compiler."""
+    if H % 128:
+        return _fit_tile(bytes_fn, B, start, G, H, it), 1
     best = None
     for k in (8, 4, 2, 1):
         Bt = _fit_tile(bytes_fn, B, start, G, H, it, unroll=k)
