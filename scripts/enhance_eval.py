@@ -35,7 +35,7 @@ def main() -> None:
 
     from nvse_tpu.data import load_wav, write_wav
     from nvse_tpu.infer.engine import InferenceEngine, resolve_filelist
-    from nvse_tpu.metrics import estoi, lsd, si_snr, snr, stoi
+    from nvse_tpu.metrics import estoi, lsd, pesq_wb, si_snr, snr, stoi, visqol
     from nvse_tpu.ops import amp_pha_spectrum
     from nvse_tpu.utils import load_config
 
@@ -50,7 +50,10 @@ def main() -> None:
     out_dir = os.path.join(h.test_output_dir, "enhanced")
     os.makedirs(out_dir, exist_ok=True)
 
-    metric_names = ("snr", "si_snr", "stoi", "estoi", "lsd")
+    # pesq/visqol match the paper's joint-training curves (WB-PESQ +
+    # a MOS proxy, figure/Joint_metrics.png); pesq_wb resamples to
+    # 16 kHz internally per ITU-T P.862.2
+    metric_names = ("snr", "si_snr", "stoi", "estoi", "lsd", "pesq", "visqol")
     rows = {"noisy": {m: [] for m in metric_names},
             "enhanced": {m: [] for m in metric_names}}
     wall = audio_sec = 0.0
@@ -88,6 +91,8 @@ def main() -> None:
             rows[tag]["stoi"].append(stoi(c, d, sr))
             rows[tag]["estoi"].append(estoi(c, d, sr))
             rows[tag]["lsd"].append(lsd(c, d, sr))
+            rows[tag]["pesq"].append(pesq_wb(c, d, sr))
+            rows[tag]["visqol"].append(visqol(c, d, sr))
 
     rec = {"label": args.label, "task": "denoise", "mix_snr_db": args.snr,
            "files": len(files), "rtf": audio_sec / max(wall, 1e-9),
