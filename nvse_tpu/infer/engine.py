@@ -148,15 +148,19 @@ class InferenceEngine:
         hop = self.h.hop_size
         n_chunks = (T + c - 1) // c
         pad_val = float(np.log(1e-5))
+        # under a data mesh the jitted fn shards the batch axis — pad B
+        # to a mesh multiple exactly as synthesize_mel does
+        n_dp = self.mesh.devices.size if self.mesh is not None else 1
+        Bb = _bucket(B, n_dp) if n_dp > 1 else B
         # pad so every window [i*c - ctx, (i+1)*c + ctx) is in range
-        melp = jnp.pad(mel, ((0, 0), (0, 0), (ctx, n_chunks * c - T + ctx)),
+        melp = jnp.pad(mel, ((0, Bb - B), (0, 0), (ctx, n_chunks * c - T + ctx)),
                        constant_values=pad_val)
         fn = self._fn(c + 2 * ctx)
         pieces = []
         for i in range(n_chunks):
             win = jax.lax.dynamic_slice_in_dim(melp, i * c, c + 2 * ctx, axis=2)
             wav = fn(self.params, win)
-            pieces.append(np.asarray(wav[..., ctx * hop : (ctx + c) * hop]))
+            pieces.append(np.asarray(wav[:B, ..., ctx * hop : (ctx + c) * hop]))
         out = np.concatenate(pieces, axis=-1)
         if out_len is None:
             out_len = T * hop

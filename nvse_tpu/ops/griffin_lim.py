@@ -134,7 +134,15 @@ def griffin_lim(
     theta = jax.random.uniform(rng, magnitude.shape, minval=-jnp.pi, maxval=jnp.pi)
     ang_re, ang_im = jnp.cos(theta), jnp.sin(theta)
 
-    if n_fft % hop_size == 0 and T >= 2:
+    # Frame-domain path requirement: the n_fft//2 center crop must be a
+    # whole number of hop chunks — n_fft/hop EVEN. Odd ratios break the
+    # chunk algebra in _roundtrip_frames (r//2 chunks drop hop*r//2
+    # samples, not n_fft//2) and take the time-domain loop below.
+    # `length` semantics on both paths follow torchaudio.GriffinLim:
+    # the iterations run at the natural hop*(T-1) length and `length`
+    # crops/pads only the final synthesis (iterating at a caller length
+    # would change the frame count mid-loop).
+    if n_fft % (2 * hop_size) == 0 and T >= 2:
         return _griffin_lim_frame_domain(
             magnitude, ang_re, ang_im, n_fft, hop_size, win_size,
             n_iter, momentum, out_len)
@@ -142,11 +150,13 @@ def griffin_lim(
     tprev_re = jnp.zeros_like(magnitude)
     tprev_im = jnp.zeros_like(magnitude)
     mom = momentum / (1.0 + momentum)
+    natural_len = hop_size * (T - 1)
 
     def body(_, carry):
         ang_re, ang_im, tprev_re, tprev_im = carry
         inv = istft_ri(magnitude * ang_re, magnitude * ang_im,
-                       n_fft, hop_size, win_size, window=win, length=out_len)
+                       n_fft, hop_size, win_size, window=win,
+                       length=natural_len)
         re, im = stft_ri(inv, n_fft, hop_size, win_size, window=win)
         re, im = re[..., :T], im[..., :T]
         a_re = re - mom * tprev_re

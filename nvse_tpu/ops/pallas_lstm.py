@@ -255,7 +255,7 @@ def _make_bidir_kernel(nrows_fwd: int, Bt: int):
         h = o * jnp.tanh(c)
         c_scratch[...] = c
         h_scratch[...] = h
-        out_ref[0] = h
+        out_ref[0] = h.astype(out_ref.dtype)
 
     return kernel
 

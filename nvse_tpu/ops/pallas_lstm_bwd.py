@@ -155,8 +155,8 @@ def _fwd_kernel_hc(xp_ref, whh_ref, h_out, c_out, h_scratch, c_scratch):
     h = o * jnp.tanh(c)
     c_scratch[...] = c
     h_scratch[...] = h
-    h_out[0] = h
-    c_out[0] = c
+    h_out[0] = h.astype(h_out.dtype)
+    c_out[0] = c.astype(c_out.dtype)
 
 
 def lstm_fwd_hc(x_proj: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = False,
@@ -235,14 +235,14 @@ def _bwd_kernel(xp_ref, hprev_ref, c_ref, cprev_ref, dh_up_ref, whh_ref,
     dgo = dh * tc * o * (1.0 - o)
     dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
 
-    dx_ref[0] = dgates
+    dx_ref[0] = dgates.astype(dx_ref.dtype)
     dh_scratch[...] = jnp.dot(dgates, w.T, preferred_element_type=jnp.float32)
     dc_scratch[...] = dc * f
     dw_scratch[...] += jnp.dot(h_prev.T, dgates, preferred_element_type=jnp.float32)
 
     @pl.when(t == T - 1)
     def _():
-        dw_ref[0] = dw_scratch[...]
+        dw_ref[0] = dw_scratch[...].astype(dw_ref.dtype)
 
 
 def _bwd_kernel_unrolled(k: int):

@@ -147,11 +147,13 @@ def train(h, log_fn=print) -> None:
         sw = None
 
     gt_logged = [False]
-    gt_added = [False]
 
     def validate(step: int) -> None:
         agg: dict[str, float] = {}
         count = 0
+        # all-ground-truth-adds-succeeded flag for THIS pass; a single
+        # failure anywhere must keep it False so the next pass retries
+        gt_added = [True]
         # default = the FULL validation set, matching the reference
         # (train_tf_wi_inv.py:313-417); set validation_cap>0 to bound
         # the per-validation cost on large corpora
@@ -172,7 +174,6 @@ def train(h, log_fn=print) -> None:
                         # (reference train_tf_wi_inv.py:363-377)
                         gt = np.asarray(audio[0])
                         sw.add_audio(f"gt/y_{i}", gt[:, None], step, h.sampling_rate)
-                        gt_added[0] = True
                 except Exception:
                     gt_added[0] = False
                 if i == 0:
@@ -192,7 +193,7 @@ def train(h, log_fn=print) -> None:
         # mark gt-logged only if the adds actually reached TensorBoard
         # (sw present and no add_audio/add_figure raised) so a transient
         # failure retries on the next validation pass
-        if sw is not None and gt_added[0]:
+        if sw is not None and gt_added[0] and count:
             gt_logged[0] = True
         if count:
             for k, v in agg.items():

@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench(compute_dtype: str, iters: int) -> dict:
+def bench(compute_dtype: str, iters: int, batch: int = 0) -> dict:
     import jax
 
     # persistent compile cache: repeat runs skip the multi-minute compile
@@ -35,6 +35,11 @@ def bench(compute_dtype: str, iters: int) -> dict:
     h = load_config(os.path.join(os.path.dirname(__file__), "..",
                                  "nvse_tpu", "configs", "bsrnn_config.json"))
     h["compute_dtype"] = compute_dtype
+    if batch:
+        # throughput mode: the step is recurrence-latency bound at the
+        # reference's batch 16, so larger batches amortize the fixed
+        # sequential cost — this flag measures that scaling directly
+        h["batch_size"] = batch
     gen, domain = build_generator(h)
     B, S = int(h.batch_size), int(h.segment_size)
     example = jnp.zeros((B, h.num_mels, S // h.hop_size + 1))
@@ -82,11 +87,13 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtypes", default="float32,bfloat16")
+    p.add_argument("--batch", type=int, default=0,
+                   help="override h.batch_size (0 = config value)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
     rows = []
     for dt in args.dtypes.split(","):
-        row = bench(dt, args.iters)
+        row = bench(dt, args.iters, args.batch)
         print(json.dumps(row))
         rows.append(row)
     if args.out:

@@ -99,9 +99,16 @@ def main() -> None:
            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
     for tag in ("noisy", "enhanced"):
         for m, vals in rows[tag].items():
-            rec[f"{tag}_{m}"] = round(float(np.mean(vals)), 4)
+            # si_snr is ±inf for degenerate pairs (silent reference /
+            # exact projection); average the finite scores only so one
+            # pathological clip can't poison the corpus mean
+            finite = [v for v in vals if np.isfinite(v)]
+            rec[f"{tag}_{m}"] = round(float(np.mean(finite)), 4) if finite else None
+            if len(finite) != len(vals):
+                rec[f"{tag}_{m}_nonfinite"] = len(vals) - len(finite)
     for m in metric_names:
-        rec[f"delta_{m}"] = round(rec[f"enhanced_{m}"] - rec[f"noisy_{m}"], 4)
+        e, n = rec.get(f"enhanced_{m}"), rec.get(f"noisy_{m}")
+        rec[f"delta_{m}"] = round(e - n, 4) if e is not None and n is not None else None
     print(json.dumps(rec, indent=1))
     if args.out:
         recs = []

@@ -7,8 +7,13 @@
 # loss continuity, so the remedy is kill-by-pidfile + restart.
 #
 # Usage: watchdog_train.sh <pidfile> <logfile> <stale_seconds> -- <cmd...>
-# Exits when the pidfile is removed (intentional stop).
+# Exits when the pidfile is removed (intentional stop) or when the log
+# shows the trainer completed its step budget (clean exit).
 set -u
+if [ "$#" -lt 5 ]; then
+    echo "usage: $0 <pidfile> <logfile> <stale_seconds> -- <cmd...>" >&2
+    exit 2
+fi
 PIDFILE="$1"; LOGFILE="$2"; STALE="$3"; shift 3
 [ "$1" = "--" ] && shift
 
@@ -19,6 +24,9 @@ while true; do
     NOW=$(date +%s)
     MTIME=$(stat -c %Y "$LOGFILE" 2>/dev/null || echo "$NOW")
     AGE=$((NOW - MTIME))
+    if tail -n 50 "$LOGFILE" 2>/dev/null | grep -q "training finished"; then
+        exit 0                            # clean completion — never restart
+    fi
     if ! kill -0 "$PID" 2>/dev/null; then
         echo "[watchdog $(date -u +%H:%M:%S)] pid $PID dead; restarting" >> "$LOGFILE"
     elif [ "$AGE" -lt "$STALE" ]; then

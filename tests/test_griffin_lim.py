@@ -57,6 +57,43 @@ def test_frame_domain_matches_time_domain(shape, nfft, hop):
     assert float(jnp.max(jnp.abs(fast - ref))) / scale < 1e-4
 
 
+def test_odd_nfft_hop_ratio_uses_time_domain_path():
+    """n_fft/hop odd (r=3) breaks the frame-domain chunk algebra (the
+    n_fft//2 center crop is not a whole number of hop chunks) — the
+    guard must route such shapes to the time-domain loop instead of
+    crashing. Regression: n_fft=768/hop=256 raised a concatenate
+    shape error inside _roundtrip_frames."""
+    from nvse_tpu.ops.griffin_lim import griffin_lim
+
+    mag = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (2, 385, 24)))
+    wav = griffin_lim(mag, n_fft=768, hop_size=256, win_size=768, n_iter=2)
+    assert wav.shape == (2, 256 * 23)
+    assert np.all(np.isfinite(np.asarray(wav)))
+
+
+def test_explicit_length_crops_final_synthesis_only():
+    """torchaudio.GriffinLim semantics: iterations run at the natural
+    hop*(T-1) length, `length` crops only the final istft — on BOTH
+    paths (the frame-domain one and the odd-ratio time-domain loop).
+    Regression: the loop used to istft at the caller length every
+    iteration, which crashed on frame-count mismatch for short lengths."""
+    from nvse_tpu.ops.griffin_lim import griffin_lim
+
+    for nfft, hop in ((1024, 256), (768, 256)):  # even + odd ratio
+        F, T = nfft // 2 + 1, 20
+        mag = jnp.abs(jax.random.normal(jax.random.PRNGKey(4), (1, F, T)))
+        L = hop * (T - 1) - 100
+        wav = griffin_lim(mag, n_fft=nfft, hop_size=hop, win_size=nfft,
+                          n_iter=2, length=L)
+        assert wav.shape == (1, L)
+        assert np.all(np.isfinite(np.asarray(wav)))
+        # cropping the natural-length output must equal the length= call
+        full = griffin_lim(mag, n_fft=nfft, hop_size=hop, win_size=nfft,
+                           n_iter=2)
+        np.testing.assert_allclose(np.asarray(wav), np.asarray(full)[:, :L],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_roundtrip_frames_matches_istft_stft():
     """The single-iteration frame-space operator == istft->stft."""
     rng = np.random.default_rng(1)

@@ -286,6 +286,33 @@ def test_kernels_accept_bf16_inputs_interpret():
                                rtol=0.05, atol=0.05)
 
 
+def test_residual_kernels_accept_bf16_k1_interpret():
+    """bf16 through the NON-unrolled residual kernels (k=1 is what the
+    chooser picks for H % 128 != 0, e.g. BSRNN-S H=64): out-ref stores
+    must cast f32 cell math back to the input dtype. Regression — the
+    k=1 kernels crashed with 'Invalid dtype for swap' under bf16."""
+    from nvse_tpu.ops.pallas_lstm_bwd import lstm_bwd, lstm_fwd_hc
+
+    xp, whh = _data(T=6, B=4, H=8)
+    hs32, cs32 = lstm_fwd_hc(xp, whh, interpret=True, unroll=1)
+    hsb, csb = lstm_fwd_hc(xp.astype(jnp.bfloat16), whh.astype(jnp.bfloat16),
+                           interpret=True, unroll=1)
+    assert hsb.dtype == jnp.bfloat16 and csb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(hsb, np.float32), np.asarray(hs32),
+                               rtol=0.05, atol=0.05)
+
+    dhs = jnp.ones_like(hs32)
+    dx32, dw32 = lstm_bwd(xp, hs32, cs32, dhs, whh, interpret=True, unroll=1)
+    dxb, dwb = lstm_bwd(xp.astype(jnp.bfloat16), hsb, csb,
+                        dhs.astype(jnp.bfloat16), whh.astype(jnp.bfloat16),
+                        interpret=True, unroll=1)
+    assert dxb.dtype == jnp.bfloat16 and dwb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(dxb, np.float32), np.asarray(dx32),
+                               rtol=0.1, atol=0.1)
+    np.testing.assert_allclose(np.asarray(dwb, np.float32), np.asarray(dw32),
+                               rtol=0.1, atol=0.15)
+
+
 def test_residual_tile_fit_and_feasibility():
     # Regression for the BSRNN-L VMEM OOM: at feature_dim=256 the
     # band-BiLSTM residual forward (f32[34,2048,256] outputs) blew the

@@ -37,6 +37,26 @@ def test_forward_parity(model):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_masked_padding_invariance(model):
+    """Padding to a length bucket + n_samples mask must reproduce the
+    exact-length score (score_dir relies on this to compile per bucket,
+    not per distinct file length)."""
+    import jax.numpy as jnp
+
+    params = torch_to_jax_params(model.state_dict())
+    rng = np.random.default_rng(2)
+    L = 7043  # deliberately not a multiple of the conv hop (320)
+    wav = (0.1 * rng.standard_normal((1, L))).astype(np.float32)
+
+    exact = np.asarray(utmos_forward(params, wav))
+    for pad in (157, 960, 4000):
+        padded = np.pad(wav, ((0, 0), (0, pad)))
+        masked = np.asarray(utmos_forward(params, padded,
+                                          n_samples=jnp.int32(L)))
+        np.testing.assert_allclose(masked, exact, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"pad={pad}")
+
+
 def test_jit_and_batch_consistency(model):
     import jax
     import jax.numpy as jnp
