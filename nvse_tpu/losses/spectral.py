@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import hann_window, mel_spectrogram, stft_ri
+from ..ops import mel_spectrogram
 
 TWO_PI = 2.0 * np.pi
 

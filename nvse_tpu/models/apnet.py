@@ -66,7 +66,10 @@ class ConvNeXtBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # normal(0.02) weights / zero bias: APNet2._init_weights applies
-        # this to every Conv1d and Linear (apnet2.py:146-149)
+        # trunc_normal_(std=0.02) to every Conv1d and Linear
+        # (apnet2.py:146-149) — with torch's default ABSOLUTE cutoffs
+        # a=-2, b=2 (= +/-100 sigma at std 0.02), so it is numerically a
+        # plain normal(0.02)
         ni, zi = normal_init(0.02), nn.initializers.zeros
         residual = x
         x = Conv1d(self.dim, self.dim, 7, padding=3, groups=self.dim,
@@ -144,16 +147,16 @@ class APNet(nn.Module):
                    self.ASP_resblock_kernel_sizes, self.ASP_resblock_dilation_sizes)
         logamp = Conv1d(self.ASP_channel, F_bins, self.ASP_output_conv_kernel_size,
                         padding=get_padding(self.ASP_output_conv_kernel_size),
-                        use_weight_norm=True, kernel_init=normal_init())(a)
+                        use_weight_norm=True)(a)
 
         p = branch(x, self.PSP_channel, self.PSP_input_conv_kernel_size,
                    self.PSP_resblock_kernel_sizes, self.PSP_resblock_dilation_sizes)
         R = Conv1d(self.PSP_channel, F_bins, self.PSP_output_R_conv_kernel_size,
                    padding=get_padding(self.PSP_output_R_conv_kernel_size),
-                   use_weight_norm=True, kernel_init=normal_init())(p)
+                   use_weight_norm=True)(p)
         I = Conv1d(self.PSP_channel, F_bins, self.PSP_output_I_conv_kernel_size,
                    padding=get_padding(self.PSP_output_I_conv_kernel_size),
-                   use_weight_norm=True, kernel_init=normal_init())(p)
+                   use_weight_norm=True)(p)
 
         return _tf_outputs(
             jnp.swapaxes(logamp, -1, -2), jnp.swapaxes(R, -1, -2),

@@ -235,7 +235,10 @@ class BSRNNCore(nn.Module):
         mag = jnp.exp(jnp.swapaxes(resi, -1, -2) + log_spec)   # (B, F, T)
         phase = jnp.swapaxes(phase, -1, -2)
 
-        logamp = jnp.log(jnp.clip(mag, 1e-5, None))
+        # the reference's clamp_min_ is IN-PLACE (bsrnn.py:204), so the
+        # clamped magnitude also feeds rea/imag and the iSTFT
+        mag = jnp.clip(mag, 1e-5, None)
+        logamp = jnp.log(mag)
         rea = mag * jnp.cos(phase)
         imag = mag * jnp.sin(phase)
         wav = istft_ri(rea, imag, self.n_fft, self.hop_size, self.win_size,

@@ -44,26 +44,62 @@ class GlobalLayerNorm(nn.Module):
         return w * (x - mean) / jnp.sqrt(var + self.eps) + b
 
 
+class ChannelLayerNorm(nn.Module):
+    """Per-frame LayerNorm over channels ('cln' in the reference's
+    select_norm, convtasnet.py:50-70 — named Cumulative but it is a
+    plain channel LN), on (B, T, C)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        return w * (x - mean) / jnp.sqrt(var + self.eps) + b
+
+
+def _select_norm(norm: str, dim: int):
+    """Reference select_norm (convtasnet.py:73-80) minus the BatchNorm1d
+    fallback (running batch stats; no reference config uses it)."""
+    n = norm.lower()
+    if n == "gln":
+        return GlobalLayerNorm(dim)
+    if n == "cln":
+        return ChannelLayerNorm(dim)
+    raise ValueError(f"unsupported ConvTasNet norm {norm!r} (gln|cln)")
+
+
 class Conv1DBlock(nn.Module):
-    """TCN block: 1x1 -> PReLU -> gLN -> dilated dwconv -> PReLU -> gLN
-    -> residual 1x1 (+ optional skip 1x1). convtasnet.py:125-167."""
+    """TCN block: 1x1 -> PReLU -> norm -> dilated dwconv -> PReLU ->
+    norm -> residual 1x1 (+ optional skip 1x1). convtasnet.py:125-167.
+    causal pads d*(k-1) and crops the right side after the dwconv
+    (reference :137-138, :162-163) — left context only."""
 
     in_channels: int
     out_channels: int
     kernel_size: int
     dilation: int
     skip_con: bool
+    causal: bool = False
+    norm: str = "gln"
 
     @nn.compact
     def __call__(self, x):
-        pad = (self.dilation * (self.kernel_size - 1)) // 2
+        full = self.dilation * (self.kernel_size - 1)
+        pad = full if self.causal else full // 2
         c = Conv1d(self.in_channels, self.out_channels, 1)(x)
         c = PReLU()(c)
-        c = GlobalLayerNorm(self.out_channels)(c)
+        c = _select_norm(self.norm, self.out_channels)(c)
         c = Conv1d(self.out_channels, self.out_channels, self.kernel_size,
                    groups=self.out_channels, padding=pad, dilation=self.dilation)(c)
-        c = PReLU()(c)
-        c = GlobalLayerNorm(self.out_channels)(c)
+        if self.causal and pad:
+            c = c[:, :-pad, :]
+        # NOTE: the reference constructs PReLU_2/norm_2 but its forward
+        # never calls them (convtasnet.py:143-144 vs :150-167) — the
+        # dwconv output feeds the residual/skip 1x1s directly
         res = Conv1d(self.out_channels, self.in_channels, 1)(c)
         if self.skip_con:
             skip = Conv1d(self.out_channels, self.in_channels, 1)(c)
@@ -91,6 +127,8 @@ class ConvTasNet(nn.Module):
     num_spks: int = 1
     skip_con: bool = True
     init_phase: str = "griffin_lim"
+    causal: bool = False
+    norm: str = "gln"
 
     @classmethod
     def from_config(cls, h) -> "ConvTasNet":
@@ -99,6 +137,7 @@ class ConvTasNet(nn.Module):
             win_size=h.win_size, num_mels=h.num_mels, fmin=h.fmin, fmax=h.fmax,
             N=h.N, L=h.L, B=h.B, H=h.H, P=h.P, X=h.X, R=h.R,
             num_spks=h.num_spks, skip_con=h.skip_con, init_phase=h.init_phase,
+            causal=bool(h.get("causal", False)), norm=str(h.get("norm", "gln")),
         )
 
     def _initial_wave(self, inv_amp):
@@ -109,7 +148,13 @@ class ConvTasNet(nn.Module):
             return istft_ri(re, im, self.n_fft, self.hop_size, self.win_size,
                             window=hann_window(self.win_size))
         if mode == "rand":
-            theta = jax.random.uniform(jax.random.PRNGKey(0), inv_amp.shape,
+            # fresh per-forward draw like the reference's rand_like
+            # (convtasnet.py:290) when the caller provides a 'phase'
+            # rng (the trainer folds the step counter in); fixed key
+            # otherwise (deterministic decode)
+            key = (self.make_rng("phase") if self.has_rng("phase")
+                   else jax.random.PRNGKey(0))
+            theta = jax.random.uniform(key, inv_amp.shape,
                                        minval=-jnp.pi, maxval=jnp.pi)
             return istft_ri(inv_amp * jnp.cos(theta), inv_amp * jnp.sin(theta),
                             self.n_fft, self.hop_size, self.win_size,
@@ -135,7 +180,8 @@ class ConvTasNet(nn.Module):
         skip_sum = jnp.zeros_like(e)
         for _r in range(self.R):
             for i in range(self.X):
-                e, skip = Conv1DBlock(self.B, self.H, self.P, 2**i, self.skip_con)(e)
+                e, skip = Conv1DBlock(self.B, self.H, self.P, 2**i, self.skip_con,
+                                      self.causal, self.norm)(e)
                 if self.skip_con:
                     skip_sum = skip_sum + skip
         feat = skip_sum if self.skip_con else e

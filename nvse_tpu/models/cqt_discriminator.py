@@ -88,15 +88,27 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
     n_octaves: Sequence[int] = (9, 9, 9)
     bins_per_octaves: Sequence[int] = (24, 36, 48)
     filters: int = 32
+    max_filters: int = 1024
+    filters_scale: int = 1
+    dilations: Sequence[int] = (1, 2, 4)
+    in_channels: int = 1
+    out_channels: int = 1
 
     @classmethod
     def from_config(cls, h) -> "MultiScaleSubbandCQTDiscriminator":
+        # full reference key set (models.py:389-397); every cqtd_* knob
+        # must reach the per-scale discriminators, not just the defaults
         return cls(
             sampling_rate=h.sampling_rate,
             hop_lengths=tuple(h.get("cqtd_hop_lengths", (512, 256, 256))),
             n_octaves=tuple(h.get("cqtd_n_octaves", (9, 9, 9))),
             bins_per_octaves=tuple(h.get("cqtd_bins_per_octaves", (24, 36, 48))),
             filters=h.get("cqtd_filters", 32),
+            max_filters=h.get("cqtd_max_filters", 1024),
+            filters_scale=h.get("cqtd_filters_scale", 1),
+            dilations=tuple(h.get("cqtd_dilations", (1, 2, 4))),
+            in_channels=h.get("cqtd_in_channels", 1),
+            out_channels=h.get("cqtd_out_channels", 1),
         )
 
     @nn.compact
@@ -106,6 +118,11 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
             d = DiscriminatorCQT(
                 sampling_rate=self.sampling_rate, hop_length=hop,
                 n_octaves=no, bins_per_octave=bpo, filters=self.filters,
+                max_filters=self.max_filters,
+                filters_scale=self.filters_scale,
+                dilations=self.dilations,
+                in_channels=self.in_channels,
+                out_channels=self.out_channels,
             )
             y_d_r, fmap_r = d(y)
             y_d_g, fmap_g = d(y_hat)

@@ -53,15 +53,22 @@ def _glu(x):
 
 
 class BLSTM(nn.Module):
-    """2-layer bidirectional LSTM + 2dim->dim projection (hddemucas.py:97-110)."""
+    """2-layer (bi)LSTM bottleneck (hddemucas.py:95-110): bidirectional
+    + 2dim->dim projection normally; h.causal flips it to a plain
+    unidirectional stack with no projection (reference bi=not causal,
+    hddemucas.py:228)."""
 
     dim: int
+    bi: bool = True
 
     @nn.compact
     def __call__(self, x):
-        y = LSTM(self.dim, self.dim, bidirectional=True)(x)
-        y = LSTM(2 * self.dim, self.dim, bidirectional=True)(y)
-        return Linear(2 * self.dim, self.dim)(y)
+        if self.bi:
+            y = LSTM(self.dim, self.dim, bidirectional=True)(x)
+            y = LSTM(2 * self.dim, self.dim, bidirectional=True)(y)
+            return Linear(2 * self.dim, self.dim)(y)
+        y = LSTM(self.dim, self.dim)(x)
+        return LSTM(self.dim, self.dim)(y)
 
 
 class HDDemucas(nn.Module):
@@ -86,6 +93,7 @@ class HDDemucas(nn.Module):
     normalize: bool = False
     rescale: float = 0.1
     init_phase: str = "griffin_lim"
+    causal: bool = False
 
     @classmethod
     def from_config(cls, h) -> "HDDemucas":
@@ -96,6 +104,7 @@ class HDDemucas(nn.Module):
             kernel_size=h.kernel_size, stride=h.stride, resample=h.resample,
             growth=h.growth, max_hidden=h.max_hidden, normalize=h.normalize,
             rescale=h.rescale, init_phase=h.init_phase,
+            causal=bool(h.get("causal", False)),
         )
 
     def valid_length(self, length: int) -> int:
@@ -115,7 +124,11 @@ class HDDemucas(nn.Module):
                             self.hop_size, self.win_size,
                             window=hann_window(self.win_size))
         if mode == "rand":
-            theta = jax.random.uniform(jax.random.PRNGKey(0), inv_amp.shape,
+            # fresh per-forward draw like the reference's rand_like
+            # (hddemucas.py:287) under a 'phase' rng; fixed key otherwise
+            key = (self.make_rng("phase") if self.has_rng("phase")
+                   else jax.random.PRNGKey(0))
+            theta = jax.random.uniform(key, inv_amp.shape,
                                        minval=-jnp.pi, maxval=jnp.pi)
             return istft_ri(inv_amp * jnp.cos(theta), inv_amp * jnp.sin(theta),
                             self.n_fft, self.hop_size, self.win_size,
@@ -173,7 +186,7 @@ class HDDemucas(nn.Module):
             skips_mask.append(x)
 
         bottleneck_dim = chans[-1][2]
-        x = BLSTM(bottleneck_dim)(x)
+        x = BLSTM(bottleneck_dim, bi=not self.causal)(x)
 
         # decoders, constructed coarse->fine (reverse of reference's
         # insert(0, ...) indexing; construction index = depth-1-step)

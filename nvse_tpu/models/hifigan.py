@@ -2,8 +2,14 @@
 
 Architecture re-derived from reference Models/hifigan.py:19-133: MRF
 ResBlocks (k 3/7/11, dilations 1/3/5) around a transposed-conv upsample
-pyramid (rates 8,8,2,2), weight norm everywhere, N(0, 0.01) init on the
-upsamplers / resblock convs / post conv, tanh output.
+pyramid (rates 8,8,2,2), weight norm everywhere, tanh output.
+
+Init note: the reference calls apply(init_weights) (N(0, 0.01)) on the
+upsamplers / resblock convs / post conv AFTER wrapping them in
+weight_norm — in torch that mutates the stale computed `weight` tensor,
+not weight_v/weight_g, so it is a no-op and the effective reference
+init is the torch Conv1d default (kaiming-uniform v, g = ||v||). The
+weight-normed convs here therefore use the default torch_conv_init.
 
 Layout: input mel follows the reference contract (B, num_mels, T);
 internally everything is channels-last (B, T, C) for TPU.
@@ -21,7 +27,6 @@ from .layers import (
     ConvTranspose1d,
     get_padding,
     leaky_relu,
-    normal_init,
 )
 
 
@@ -39,11 +44,11 @@ class ResBlock1(nn.Module):
             xt = leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(c, c, self.kernel_size, dilation=d,
                         padding=get_padding(self.kernel_size, d),
-                        use_weight_norm=True, kernel_init=normal_init())(xt)
+                        use_weight_norm=True)(xt)
             xt = leaky_relu(xt, LRELU_SLOPE)
             xt = Conv1d(c, c, self.kernel_size, dilation=1,
                         padding=get_padding(self.kernel_size, 1),
-                        use_weight_norm=True, kernel_init=normal_init())(xt)
+                        use_weight_norm=True)(xt)
             x = xt + x
         return x
 
@@ -62,7 +67,7 @@ class ResBlock2(nn.Module):
             xt = leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(c, c, self.kernel_size, dilation=d,
                         padding=get_padding(self.kernel_size, d),
-                        use_weight_norm=True, kernel_init=normal_init())(xt)
+                        use_weight_norm=True)(xt)
             x = xt + x
         return x
 
@@ -93,7 +98,7 @@ class MRFUpsampler(nn.Module):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = leaky_relu(x, LRELU_SLOPE)
             x = ConvTranspose1d(cin, ch, k, stride=u, padding=(k - u) // 2,
-                                use_weight_norm=True, kernel_init=normal_init())(x)
+                                use_weight_norm=True)(x)
             xs = None
             for kr, dr in zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes):
                 out = resblock(ch, kr, tuple(dr))(x)
@@ -139,6 +144,6 @@ class HiFiGAN(nn.Module):
         )(x)
         ch = self.upsample_initial_channel // (2 ** len(self.upsample_rates))
         x = leaky_relu(x, 0.01)  # torch F.leaky_relu default, hifigan.py:120
-        x = Conv1d(ch, 1, 7, padding=3, use_weight_norm=True, kernel_init=normal_init())(x)
+        x = Conv1d(ch, 1, 7, padding=3, use_weight_norm=True)(x)
         x = jnp.tanh(x)
         return x[..., 0]  # (B, L)

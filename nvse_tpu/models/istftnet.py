@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from ..ops import hann_window, istft_ri
 from .hifigan import MRFUpsampler
-from .layers import Conv1d, leaky_relu, normal_init
+from .layers import Conv1d, leaky_relu
 
 
 class ISTFTNet(nn.Module):
@@ -62,8 +62,7 @@ class ISTFTNet(nn.Module):
         x = leaky_relu(x, 0.01)  # istftnet.py:311 F.leaky_relu default
         x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)), mode="reflect")  # ReflectionPad1d((1,0))
         nf = self.gen_istft_n_fft
-        x = Conv1d(ch, nf + 2, 7, padding=3, use_weight_norm=True,
-                   kernel_init=normal_init())(x)
+        x = Conv1d(ch, nf + 2, 7, padding=3, use_weight_norm=True)(x)
         x = jnp.swapaxes(x, -1, -2)  # (B, nf+2, T)
         F_bins = nf // 2 + 1
         mag = jnp.exp(x[:, :F_bins, :])

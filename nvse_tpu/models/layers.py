@@ -57,7 +57,12 @@ def torch_conv_init(fan_in: int):
 
 
 def normal_init(std: float = 0.01):
-    """init_weights from the reference (utils.py:35-38): N(0, 0.01)."""
+    """init_weights from the reference (utils.py:35-38): N(0, std).
+
+    Only meaningful on NON-weight-normed convs: the reference applies
+    init_weights after weight_norm(), which in torch mutates the stale
+    computed weight tensor and leaves weight_v/weight_g untouched — a
+    no-op. Weight-normed convs here keep the torch default init."""
 
     def init(key, shape, dtype=jnp.float32):
         return jax.random.normal(key, shape, dtype) * std
@@ -313,14 +318,20 @@ class SNConv1d(nn.Module):
         # mixed precision
         w32 = w.astype(jnp.float32)
         u = u_var.value
-        v = w32.T @ u
+        # the power-iteration vectors are buffers (torch runs the
+        # iteration under no_grad) but sigma = u^T W v is a live
+        # function of the weight: torch backprops d(W/sigma)/dW through
+        # the quotient, which is what keeps the spectral norm pinned
+        # near 1 during training — so only u/v are stop_gradiented here
+        sg = jax.lax.stop_gradient
+        v = sg(w32).T @ u
         v = v / (jnp.linalg.norm(v) + 1e-12)
-        u_new = w32 @ v
+        u_new = sg(w32) @ v
         u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-        sigma = u_new @ w32 @ v
+        sigma = sg(u_new) @ w32 @ sg(v)
         if update_stats and not self.is_initializing():
-            u_var.value = jax.lax.stop_gradient(u_new)
-        kernel = kernel / jax.lax.stop_gradient(sigma).astype(kernel.dtype)
+            u_var.value = sg(u_new)
+        kernel = kernel / sigma.astype(kernel.dtype)
 
         # lax.conv requires matching operand dtypes; under mixed
         # precision the input may arrive f32 (e.g. after f32 DSP ops)

@@ -273,15 +273,25 @@ def make_train_step(h, generator, domain: str, mesh=None,
             return _to_f32(out), spectral
         return _to_f32(scale_disc.apply({"params": params}, y, y_hat)), None
 
-    def gen_forward(gen_params, mel, aux_input, mixed=False):
+    # ConvTasNet/HDDemucas with init_phase="rand" draw a fresh random
+    # initial phase per forward in the reference (convtasnet.py:290);
+    # feed them a per-step 'phase' rng so training sees a new draw each
+    # step instead of one frozen pattern
+    needs_phase_rng = str(getattr(generator, "init_phase", "")).lower() == "rand"
+    phase_base = jax.random.PRNGKey(int(h.get("seed", 0)) + 0x9A5E)
+
+    def gen_forward(gen_params, mel, aux_input, mixed=False, step=None):
         # joint: 'mel' is already the input spectrum for BSRNN_24k
         if mixed:
             gen_params = _to_compute(gen_params)
             mel, aux_input = _to_compute((mel, aux_input))
+        rngs = None
+        if needs_phase_rng and step is not None:
+            rngs = {"phase": jax.random.fold_in(phase_base, step)}
         if domain == "tf" and aux_input is not None:
-            out = generator.apply({"params": gen_params}, mel, aux_input)
+            out = generator.apply({"params": gen_params}, mel, aux_input, rngs=rngs)
         else:
-            out = generator.apply({"params": gen_params}, mel)
+            out = generator.apply({"params": gen_params}, mel, rngs=rngs)
         return _to_f32(out) if mixed else out
 
     tf_like = domain in ("tf", "joint")
@@ -293,7 +303,8 @@ def make_train_step(h, generator, domain: str, mesh=None,
 
         # --- generator forward once, VJP saved for the G update
         outs, gen_vjp = jax.vjp(
-            lambda p: gen_forward(p, mel, gen_aux, mixed=True), gen_state.params)
+            lambda p: gen_forward(p, mel, gen_aux, mixed=True,
+                                  step=gen_state.step), gen_state.params)
         if tf_like:
             logamp_g, pha_g, rea_g, imag_g, y_g = outs
         else:

@@ -180,8 +180,9 @@ def import_convtasnet(torch_params: dict[str, np.ndarray], flax_params: Any, h) 
 
     Flax call order: Conv1d_0 (encoder), GlobalLayerNorm_0, Conv1d_1
     (bottleneck), Conv1DBlock_0..R*X-1 (each: Conv1d_0 1x1, PReLU_0,
-    GlobalLayerNorm_0, Conv1d_1 dwconv, PReLU_1, GlobalLayerNorm_1,
-    Conv1d_2 res [, Conv1d_3 skip]), Conv1d_2 (mask head),
+    GlobalLayerNorm_0, Conv1d_1 dwconv, Conv1d_2 res [, Conv1d_3 skip]
+    — the torch checkpoint's PReLU_2/norm_2 are constructed-but-unused
+    in the reference forward and are skipped), Conv1d_2 (mask head),
     ConvTranspose1d_0 (decoder).
     """
     import jax
@@ -206,8 +207,6 @@ def import_convtasnet(torch_params: dict[str, np.ndarray], flax_params: Any, h) 
         blk["PReLU_0"]["alpha"] = torch_params[f"{pre}.PReLU_1.weight"].reshape(())
         gln(blk["GlobalLayerNorm_0"], f"{pre}.norm_1")
         plain(blk["Conv1d_1"], f"{pre}.dwconv")
-        blk["PReLU_1"]["alpha"] = torch_params[f"{pre}.PReLU_2.weight"].reshape(())
-        gln(blk["GlobalLayerNorm_1"], f"{pre}.norm_2")
         plain(blk["Conv1d_2"], f"{pre}.Sc_conv")
         if h.skip_con:
             plain(blk["Conv1d_3"], f"{pre}.skip_conv")

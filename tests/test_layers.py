@@ -131,6 +131,41 @@ def test_spectral_norm_conv_close_to_torch():
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-3, atol=1e-4)
 
 
+def test_spectral_norm_gradient_matches_torch():
+    """torch backprops through sigma = u^T W v (u,v detached buffers);
+    the port must too — stop_gradient around sigma gives d(W/sigma)/dW =
+    1/sigma instead of the quotient rule, changing D dynamics."""
+    tconv = torch.nn.utils.spectral_norm(torch.nn.Conv1d(4, 6, 3, padding=1))
+    x = _x(2, 16, 4)
+    xt = torch.from_numpy(x).permute(0, 2, 1)
+    with torch.no_grad():
+        for _ in range(50):
+            tconv(xt)
+
+    ours = L.SNConv1d(4, 6, 3, padding=1)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    w = tconv.weight_orig.detach().numpy()
+    params = {"kernel": jnp.asarray(w.transpose(2, 1, 0)),
+              "bias": jnp.asarray(tconv.bias.detach().numpy())}
+    spectral = variables["spectral"]
+    for _ in range(100):  # converge our u to torch's
+        _, upd = ours.apply({"params": params, "spectral": spectral},
+                            jnp.asarray(x), mutable=["spectral"])
+        spectral = upd["spectral"]
+
+    def loss(p):
+        y, _ = ours.apply({"params": p, "spectral": spectral},
+                          jnp.asarray(x), mutable=["spectral"])
+        return jnp.sum(y ** 2)
+
+    gk = np.asarray(jax.grad(loss)(params)["kernel"]).transpose(2, 1, 0)
+
+    tconv.zero_grad()
+    (tconv(xt) ** 2).sum().backward()
+    gt = tconv.weight_orig.grad.detach().numpy()
+    np.testing.assert_allclose(gk, gt, rtol=1e-3, atol=1e-4)
+
+
 def test_weightnorm_g_initialised_to_norm():
     ours = L.Conv1d(4, 8, 3, padding=1, use_weight_norm=True)
     variables = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)))

@@ -94,9 +94,43 @@ def test_convtasnet():
     n = _count(params)
     # The paper table says 3.15M, but the shipped config enables
     # skip_con=True whose 24 skip 1x1 convs add ~1.58M params; the
-    # reference code as configured has exactly 4,985,009 params
-    # (hand-computed from Models/convtasnet.py layer spec) — match that.
-    assert n == 4_985_009, n
+    # reference code as configured CONSTRUCTS 4,985,009 params, of
+    # which 24,600 (PReLU_2 + norm_2 per block) never participate in
+    # forward (convtasnet.py:143-144 vs :150-167) — this port only
+    # creates the 4,960,409 live ones.
+    assert n == 4_960_409, n
+
+
+def test_convtasnet_causal_cln():
+    """h.causal / h.norm must reach the TCN blocks: causal pads left
+    only (reference convtasnet.py:137-138,162-163), cln swaps gLN for
+    the per-frame channel LN."""
+    h = _h(model_name="ConvTasNet", N=64, L=16, B=16, H=32, P=3, X=2, R=1,
+           norm="cln", num_spks=1, activate="relu", causal=True,
+           skip_con=False, init_phase="zero")
+    model, _ = build_generator(h)
+    mel = _mel(t=17)
+    params = model.init(jax.random.PRNGKey(0), mel)
+    wav = model.apply(params, mel)
+    assert wav.ndim == 2 and np.isfinite(np.asarray(wav)).all()
+    flat = str(jax.tree_util.tree_structure(params))
+    assert "ChannelLayerNorm" in flat  # cln actually selected
+
+
+def test_hddemucas_causal_unilstm():
+    """h.causal=true -> unidirectional 2-layer LSTM bottleneck with no
+    2dim->dim projection (reference hddemucas.py:95-110, bi=not causal)."""
+    h = _h(model_name="HDDemucas", chin=1, chout=1, hidden=8, depth=2,
+           kernel_size=8, stride=4, causal=True, resample=4, growth=2,
+           max_hidden=10000, normalize=False, glu=True, rescale=0.1,
+           floor=1e-3, init_phase="zero")
+    model, _ = build_generator(h)
+    mel = _mel(t=17)
+    params = model.init(jax.random.PRNGKey(0), mel)
+    wav = model.apply(params, mel)
+    assert np.isfinite(np.asarray(wav)).all()
+    flat = str(jax.tree_util.tree_structure(params))
+    assert "Linear_0" not in str(params["params"].get("BLSTM_0", {}))
 
 
 def test_hddemucas():

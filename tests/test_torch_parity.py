@@ -304,8 +304,11 @@ class _OracleTCNBlock(nn.Module):
             self.skip_conv = nn.Conv1d(co, ci, 1)
 
     def forward(self, x):
+        # PReLU_2/norm_2 are constructed but NOT called — matching the
+        # actual reference forward (convtasnet.py:150-167), which feeds
+        # the dwconv output straight to the residual/skip 1x1s
         c = self.norm_1(self.PReLU_1(self.conv1x1(x)))
-        c = self.norm_2(self.PReLU_2(self.dwconv(c)))
+        c = self.dwconv(c)
         if self.skip_con:
             return x + self.Sc_conv(c), self.skip_conv(c)
         return x + self.Sc_conv(c), None
