@@ -45,6 +45,10 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
             data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
         else:
             raise ValueError(f"unsupported sample width {sw}")
+        if ch > 1:
+            # frombuffer yields interleaved samples — de-interleave so
+            # the mono downmix below sees (frames, channels)
+            data = data.reshape(-1, ch)
     except wave.Error:
         # float32 or other formats stdlib wave rejects
         sr, data = _wavfile.read(path)

@@ -61,6 +61,7 @@ class SegmentDataset:
         shard_id: int = 0,
         num_shards: int = 1,
         cache_wavs: bool = True,
+        cache_bytes: int = 2 << 30,
     ):
         self.files = list(files)
         rng = random.Random(seed)
@@ -72,6 +73,10 @@ class SegmentDataset:
         self.split = split
         self.rng = random.Random(seed + shard_id)
         self._cache: dict[str, np.ndarray] = {} if cache_wavs else None
+        # FIFO byte bound so an LJSpeech-scale corpus can't grow the
+        # decoded-wav cache past host RAM (float32 ~7.6 GB for 24 h)
+        self._cache_budget = int(cache_bytes)
+        self._cache_bytes = 0
 
     def __len__(self) -> int:
         return len(self.files)
@@ -80,19 +85,30 @@ class SegmentDataset:
         if self._cache is not None and path in self._cache:
             return self._cache[path]
         audio = load_wav(path, self.sampling_rate)
-        if self._cache is not None:
+        if self._cache is not None and audio.nbytes <= self._cache_budget:
+            while self._cache and self._cache_bytes + audio.nbytes > self._cache_budget:
+                oldest = next(iter(self._cache))  # dicts iterate FIFO
+                self._cache_bytes -= self._cache.pop(oldest).nbytes
             self._cache[path] = audio
+            self._cache_bytes += audio.nbytes
         return audio
 
-    def __getitem__(self, index: int) -> np.ndarray:
+    def segment_at(self, index: int, rng: random.Random) -> np.ndarray:
+        """Random crop with a CALLER-OWNED rng — the loader derives one
+        per (epoch, batch) so multi-threaded prefetch stays run-to-run
+        deterministic (the shared self.rng is only deterministic when
+        items are drawn from a single thread)."""
         audio = self._load(self.files[index])
         if not self.split:
             return audio
         seg = self.segment_size
         if len(audio) >= seg:
-            start = self.rng.randint(0, len(audio) - seg)
+            start = rng.randint(0, len(audio) - seg)
             return audio[start : start + seg]
         return np.pad(audio, (0, seg - len(audio)))
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        return self.segment_at(index, self.rng)
 
 
 class PrefetchLoader:
@@ -130,6 +146,7 @@ class PrefetchLoader:
 
     def __iter__(self) -> Iterator[np.ndarray]:
         order = np.random.default_rng(self.seed + self.epoch).permutation(len(self.dataset))
+        epoch = self.epoch
         self.epoch += 1
         nb = len(self)
         out_q: queue.Queue = queue.Queue(maxsize=8)
@@ -141,18 +158,20 @@ class PrefetchLoader:
         lock = threading.Lock()
 
         def make_batch(b, idxs):
+            # unique per (epoch, batch): the epoch term must out-stride
+            # the largest batch index or streams repeat across epochs
+            bseed = (self.seed * 1_000_003 + epoch + 1) * 1_000_003 + b
             if self._native is not None:
                 paths = [self.dataset.files[int(i)] for i in idxs]
                 batch = self._native.batch_segments_native(
-                    paths, self.dataset.segment_size,
-                    # unique per (epoch, batch): the epoch term must
-                    # out-stride the largest batch index or streams
-                    # repeat across epochs
-                    seed=(self.seed * 1_000_003 + self.epoch) * 1_000_003 + b,
-                )
+                    paths, self.dataset.segment_size, seed=bseed)
                 if batch is not None:
                     return batch
-            return np.stack([self.dataset[int(i)] for i in idxs])
+            # per-batch rng (not the dataset's shared one): worker
+            # threads interleave nondeterministically, so a shared rng
+            # would make crops depend on thread scheduling
+            rng = random.Random(bseed)
+            return np.stack([self.dataset.segment_at(int(i), rng) for i in idxs])
 
         def worker():
             while True:

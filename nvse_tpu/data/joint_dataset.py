@@ -204,9 +204,16 @@ class PrefetchJointLoader:
         nb = len(self.dataset)
         epoch = self.epoch
         self.epoch += 1
+        # per-epoch random batch-visit order: the reference's
+        # DataLoader(shuffle=True) over the self-batching Dataset
+        # permutes WHICH batch index comes when (composition stays
+        # fixed — audio_files shuffled once at init, idx = index*B+j,
+        # dataset_joint_denoise_vocoder.py:204-205,242)
+        perm = np.random.default_rng(
+            self.seed * 7_919 + epoch).permutation(nb).tolist()
         idx_q: queue.Queue = queue.Queue()
-        for b in range(nb):
-            idx_q.put(b)
+        for b in perm:
+            idx_q.put(int(b))
         results: dict[int, tuple] = {}
         lock = threading.Lock()
         ready = threading.Condition(lock)
@@ -236,7 +243,7 @@ class PrefetchJointLoader:
                    for _ in range(min(self.num_workers, max(nb, 1)))]
         for t in threads:
             t.start()
-        for b in range(nb):
+        for b in perm:
             with ready:
                 while b not in results:
                     ready.wait()

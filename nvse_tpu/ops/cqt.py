@@ -59,7 +59,8 @@ def cqt(
     pad = klen // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad)))[..., None]  # (B, L', 1)
     out = jax.lax.conv_general_dilated(
-        xp, jnp.asarray(bank)[:, None, :],
+        # conv requires matching dtypes (bf16 input under compute_dtype)
+        xp, jnp.asarray(bank).astype(x.dtype)[:, None, :],
         window_strides=(hop_length,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
     )  # (B, T, 2*n_bins)

@@ -31,7 +31,9 @@ def _conv1d_single(x: jnp.ndarray, kernel: np.ndarray, padding: int) -> jnp.ndar
     """x (..., L) * kernel (K,) with symmetric zero padding -> (..., L + 2p - K + 1)."""
     lead = x.shape[:-1]
     xr = x.reshape(-1, x.shape[-1], 1)
-    k = jnp.asarray(kernel)[:, None, None]
+    # conv requires matching dtypes; follow the input so bf16
+    # activations (compute_dtype) don't crash the trace
+    k = jnp.asarray(kernel).astype(x.dtype)[:, None, None]
     y = jax.lax.conv_general_dilated(
         xr, k, window_strides=(1,), padding=[(padding, padding)],
         dimension_numbers=("NWC", "WIO", "NWC"),

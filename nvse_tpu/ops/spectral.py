@@ -211,7 +211,9 @@ def stft_ri(
     Avoids complex dtypes end-to-end so results are TPU-host-transferable.
     """
     if window is None:
-        win = np.ones(n_fft, dtype=np.float32)
+        # torch.stft's window=None is ones(win_length) zero-padded to
+        # n_fft, NOT ones(n_fft) — they differ whenever win_size < n_fft
+        win = _pad_window(np.ones(win_size, dtype=np.float32), n_fft)
     else:
         win = _pad_window(np.asarray(window), n_fft)
     win = jnp.asarray(win)
@@ -310,7 +312,8 @@ def istft_ri(
     hop_size * (T - 1). Matches reference Models/bsrnn.py:209-215 et al.
     """
     if window is None:
-        win_np = np.ones(n_fft, dtype=np.float32)
+        # mirror torch: ones(win_length) zero-padded to n_fft
+        win_np = _pad_window(np.ones(win_size, dtype=np.float32), n_fft)
     else:
         win_np = _pad_window(np.asarray(window), n_fft)
     win = jnp.asarray(win_np)
