@@ -43,15 +43,45 @@ bool parse_header(FILE* f, WavInfo* info) {
           fread(&rate, 4, 1, f) != 1 || fread(&byterate, 4, 1, f) != 1 ||
           fread(&block, 2, 1, f) != 1 || fread(&bits, 2, 1, f) != 1)
         return false;
-      if (fmt == 0xFFFE) fmt = 1;  // extensible: assume PCM
+      long fmt_read = 16;
+      if (fmt == 0xFFFE && sz >= 40) {
+        // WAVE_FORMAT_EXTENSIBLE: the REAL format code is the first
+        // two bytes of the SubFormat GUID (cbSize[2] + valid bits[2] +
+        // channel mask[4] precede it). Assuming PCM here decoded
+        // extensible float WAVs as int32 bit patterns — noise.
+        uint16_t cb, valid_bits, sub_fmt;
+        uint32_t chan_mask;
+        if (fread(&cb, 2, 1, f) != 1 || fread(&valid_bits, 2, 1, f) != 1 ||
+            fread(&chan_mask, 4, 1, f) != 1 || fread(&sub_fmt, 2, 1, f) != 1)
+          return false;
+        fmt = sub_fmt;
+        fmt_read = 26;
+      } else if (fmt == 0xFFFE) {
+        fmt = 1;  // malformed extensible without SubFormat: assume PCM
+      }
       info->format = fmt;
       info->channels = ch;
       info->sample_rate = (int)rate;
       info->bits = bits;
-      if (sz > 16) fseek(f, sz - 16, SEEK_CUR);
+      if ((long)sz > fmt_read) fseek(f, (long)sz - fmt_read, SEEK_CUR);
     } else if (!memcmp(id, "data", 4)) {
       info->data_offset = ftell(f);
       info->data_bytes = sz;
+      // clamp the declared payload to what the file actually holds
+      // (a bogus 0xFFFFFFFF data size otherwise drives a huge resize
+      // -> bad_alloc inside a worker thread -> std::terminate)
+      long pos = ftell(f);
+      if (fseek(f, 0, SEEK_END) == 0) {
+        long end = ftell(f);
+        if (end >= pos && info->data_bytes > end - pos)
+          info->data_bytes = end - pos;
+        fseek(f, pos, SEEK_SET);
+      }
+      // bits must be a sane byte multiple (bits==0 divided by zero)
+      if (info->bits != 8 && info->bits != 16 && info->bits != 24 &&
+          info->bits != 32)
+        return false;
+      if (info->format != 1 && info->format != 3) return false;
       return info->sample_rate > 0 && info->channels > 0;
     } else {
       fseek(f, sz + (sz & 1), SEEK_CUR);

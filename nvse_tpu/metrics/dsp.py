@@ -109,7 +109,9 @@ def _thirdoct_bands():
 
 def _stoi_frames(x: np.ndarray) -> np.ndarray:
     win = np.hanning(_STOI_WIN + 2)[1:-1]
-    n_frames = 1 + max(0, (len(x) - _STOI_WIN)) // _STOI_HOP
+    # 0 frames for inputs shorter than one window (the old floor of 1
+    # indexed past the end and crashed on sub-window clips)
+    n_frames = 0 if len(x) < _STOI_WIN else 1 + (len(x) - _STOI_WIN) // _STOI_HOP
     idx = np.arange(n_frames)[:, None] * _STOI_HOP + np.arange(_STOI_WIN)[None, :]
     return x[idx] * win
 
@@ -214,7 +216,9 @@ def yin_f0(x: np.ndarray, sr: int, fmin: float = 60.0, fmax: float = 500.0,
     """Per-frame F0 in Hz; 0 = unvoiced. de Cheveigné & Kawahara 2002."""
     tau_min = int(sr / fmax)
     tau_max = int(sr / fmin)
-    n_frames = 1 + max(0, (len(x) - frame - tau_max)) // hop
+    # 0 frames when the clip can't fit one analysis window + max lag
+    need = frame + tau_max
+    n_frames = 0 if len(x) < need else 1 + (len(x) - need) // hop
     f0 = np.zeros(n_frames)
     for i in range(n_frames):
         seg = x[i * hop : i * hop + frame + tau_max]
@@ -362,7 +366,8 @@ def yin_f0_conf(x: np.ndarray, sr: int, **kw):
     frame = kw.get("frame", 1024); hop = kw.get("hop", 256)
     threshold = kw.get("threshold", 0.15)
     tau_min = int(sr / fmax); tau_max = int(sr / fmin)
-    n_frames = 1 + max(0, (len(x) - frame - tau_max)) // hop
+    need = frame + tau_max
+    n_frames = 0 if len(x) < need else 1 + (len(x) - need) // hop
     f0 = np.zeros(n_frames); conf = np.zeros(n_frames)
     for i in range(n_frames):
         seg = x[i * hop : i * hop + frame + tau_max]

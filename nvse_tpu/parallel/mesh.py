@@ -32,9 +32,26 @@ def get_mesh(n_devices: int | None = None, global_: bool = False,
     Devices along 'seq' are mesh-minor so the all-to-all rides
     nearest-neighbour ICI links.
     """
-    devs = jax.devices() if global_ else jax.local_devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
+    if global_:
+        devs = list(jax.devices())
+        if n_devices is not None and n_devices < len(devs):
+            # take an equal share from EVERY process: a flat [:n] would
+            # drop whole hosts, whose local data could then never be
+            # addressed by make_array_from_process_local_data
+            n_proc = jax.process_count()
+            if n_devices % n_proc:
+                raise ValueError(
+                    f"global mesh size {n_devices} must be divisible by "
+                    f"{n_proc} processes")
+            per = n_devices // n_proc
+            by_proc: dict[int, list] = {}
+            for d in devs:
+                by_proc.setdefault(d.process_index, []).append(d)
+            devs = [d for p in sorted(by_proc) for d in by_proc[p][:per]]
+    else:
+        devs = list(jax.local_devices())
+        if n_devices is not None:
+            devs = devs[:n_devices]
     if n_seq > 1:
         if len(devs) % n_seq:
             raise ValueError(f"{len(devs)} devices not divisible by n_seq={n_seq}")

@@ -139,10 +139,18 @@ def restore_checkpoint(path: str, gen_state, disc_state):
     }
     do = ckptr.restore(os.path.abspath(cp_do), item=do_item,
                        restore_args=_host_restore_args(do_item))
+    # strong-typed int32 step: a weak Python int here changes the step
+    # aval vs what apply_gradients produces, forcing a SECOND full XLA
+    # compile of the donated train step right after every resume
+    import jax.numpy as jnp
+    # two DISTINCT arrays: both states are donated to the train step,
+    # and a shared buffer would be donated twice (XLA rejects that)
+    step_g = jnp.asarray(int(do["steps"]) + 1, jnp.int32)
+    step_d = jnp.asarray(int(do["steps"]) + 1, jnp.int32)
     gen_state = gen_state.replace(params=g["generator"], opt_state=do["optim_g"],
-                                  step=do["steps"] + 1)
+                                  step=step_g)
     disc_state = disc_state.replace(params=do["disc_params"], spectral=do["spectral"],
-                                    opt_state=do["optim_d"], step=do["steps"] + 1)
+                                    opt_state=do["optim_d"], step=step_d)
     return gen_state, disc_state, int(do["steps"]) + 1, int(do["epoch"])
 
 

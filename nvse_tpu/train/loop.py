@@ -17,6 +17,7 @@ means).
 from __future__ import annotations
 
 import os
+import random as _random
 import time
 
 import jax
@@ -25,7 +26,7 @@ import numpy as np
 
 from ..data import PrefetchLoader, SegmentDataset, get_dataset_filelist
 from ..models import build_generator
-from ..parallel import SEQ_AXIS, get_mesh, shard_batch
+from ..parallel import SEQ_AXIS, batch_sharding, get_mesh
 from ..utils import build_env
 from .checkpoint import restore_checkpoint, save_checkpoint, wait_for_checkpoints
 from .trainer import create_states, make_train_step
@@ -85,27 +86,39 @@ def train(h, log_fn=print) -> None:
 
     import math as _math
 
-    n_avail = len(jax.devices())
+    n_proc = jax.process_count()
+    n_local = len(jax.local_devices())
     n_sp = max(1, int(h.get("sp_devices", 1)))
-    if n_sp > 1 and n_avail % n_sp:
-        log_fn(f"WARNING: sp_devices={n_sp} does not divide the {n_avail} "
-               "available devices; disabling sequence parallelism.")
+    if n_sp > 1 and n_local % n_sp:
+        log_fn(f"WARNING: sp_devices={n_sp} does not divide the {n_local} "
+               "local devices; disabling sequence parallelism.")
         n_sp = 1
-    # use as many devices as evenly divide the global batch
-    n_data = _math.gcd(int(h.batch_size), n_avail // n_sp)
+    # h.batch_size is the GLOBAL batch (reference semantics); each host
+    # feeds its equal share, and the mesh spans ALL processes' devices
+    # so GSPMD all-reduces gradients across hosts (a local-only mesh
+    # would silently train divergent per-host models)
+    if int(h.batch_size) % n_proc:
+        raise ValueError(
+            f"batch_size={h.batch_size} must be divisible by the "
+            f"{n_proc} participating processes")
+    local_batch = int(h.batch_size) // n_proc
+    # per host, use as many devices as evenly divide its batch share
+    n_data_local = _math.gcd(local_batch, n_local // n_sp)
+    n_data = n_data_local * n_proc
     n_dev = n_data * n_sp
-    if n_dev != n_avail:
+    if n_dev != n_proc * n_local:
         log_fn(
             f"WARNING: batch_size={h.batch_size} is not divisible by the "
-            f"{n_avail // n_sp} available data-parallel devices; training "
-            f"will use only {n_dev} device(s). Set batch_size to a multiple "
-            f"of {n_avail // n_sp} to use the full mesh."
+            f"{n_proc * (n_local // n_sp)} available data-parallel devices; "
+            f"training will use only {n_dev} device(s). Set batch_size to a "
+            f"multiple of {n_proc * (n_local // n_sp)} to use the full mesh."
         )
     if n_sp > 1:
         # dual-path sequence parallelism (BSRNN): shard bands/frames over
         # the 'seq' mesh axis in addition to batch over 'data'
         h["sp_axis"] = SEQ_AXIS
-    mesh = get_mesh(n_dev, n_seq=n_sp) if n_dev > 1 else None
+    mesh = (get_mesh(n_dev, n_seq=n_sp, global_=n_proc > 1)
+            if n_dev > 1 else None)
     generator, domain = build_generator(h)
 
     training_files, validation_files = get_dataset_filelist(
@@ -136,6 +149,9 @@ def train(h, log_fn=print) -> None:
     gen_state, disc_state, steps, last_epoch = restore_checkpoint(
         h.checkpoint_path, gen_state, disc_state
     )
+    # resume the loader's shuffle/crop streams from the restored epoch
+    # instead of replaying epoch 0's (mirrors loop_joint)
+    loader.epoch = max(0, last_epoch)
     log_fn(f"checkpoints directory: {h.checkpoint_path} (resuming at step {steps})")
 
     fns = make_train_step(h, generator, domain, mesh=mesh)
@@ -160,7 +176,11 @@ def train(h, log_fn=print) -> None:
         cap = int(h.get("validation_cap", 0))
         n_val = len(val_ds) if cap <= 0 else min(len(val_ds), cap)
         for i in range(n_val):
-            audio = jnp.asarray(val_ds[i][None, :])
+            # fixed per-item crop rng: every validation pass must score
+            # the SAME audio or the metric curves aren't comparable
+            # (the shared dataset rng advances state between passes)
+            audio = jnp.asarray(
+                val_ds.segment_at(i, _random.Random(0x5EED + i))[None, :])
             y_g, metrics = fns.eval_step(gen_state, audio, None)
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
@@ -210,8 +230,17 @@ def train(h, log_fn=print) -> None:
         """H2D prefetch: dispatch the next batch's transfer while the
         current step computes (device_put is async)."""
         def put(b):
-            a = jnp.asarray(b)
-            return shard_batch(a, mesh) if mesh is not None else jax.device_put(a)
+            # device_put straight from the host array: one async H2D
+            # split per shard (a jnp.asarray first would commit the
+            # whole batch to device 0 and pay a second reshard)
+            if mesh is None:
+                return jax.device_put(np.asarray(b))
+            if jax.process_count() > 1:
+                # each process contributes its local batch rows to the
+                # global array laid out over the global mesh
+                return jax.make_array_from_process_local_data(
+                    batch_sharding(mesh), np.asarray(b))
+            return jax.device_put(np.asarray(b), batch_sharding(mesh))
 
         it = iter(loader)
         try:

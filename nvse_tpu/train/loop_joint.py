@@ -17,7 +17,7 @@ import numpy as np
 
 from ..data.joint_dataset import JointDataset, PrefetchJointLoader, get_joint_filelist
 from ..models import build_generator
-from ..parallel import get_mesh, shard_batch
+from ..parallel import batch_sharding, get_mesh
 from ..utils import build_env
 from .checkpoint import restore_checkpoint, save_checkpoint, wait_for_checkpoints
 from .trainer import create_states, make_train_step
@@ -35,13 +35,23 @@ def train_joint(h, log_fn=print) -> None:
            f"{len(train_noise)} noise files")
 
     import math as _math
-    n_avail = len(jax.devices())
-    n_dev = _math.gcd(int(h.batch_size), n_avail)
-    if n_dev != n_avail:
+    n_proc = jax.process_count()
+    n_local = len(jax.local_devices())
+    # global mesh across processes (a local-only mesh would skip the
+    # cross-host gradient all-reduce); h.batch_size = global batch.
+    # NOTE: JointDataset is self-batching, so multi-host joint training
+    # would also need per-host batch slicing — gate it explicitly.
+    if n_proc > 1:
+        raise NotImplementedError(
+            "multi-host joint training needs per-host slicing of the "
+            "self-batching JointDataset; use the single-task trainers "
+            "for multi-host runs")
+    n_dev = _math.gcd(int(h.batch_size), n_local)
+    if n_dev != n_local:
         log_fn(
             f"WARNING: batch_size={h.batch_size} is not divisible by the "
-            f"{n_avail} available devices; training will use only {n_dev} "
-            f"device(s). Set batch_size to a multiple of {n_avail} to use "
+            f"{n_local} available devices; training will use only {n_dev} "
+            f"device(s). Set batch_size to a multiple of {n_local} to use "
             "the full mesh."
         )
     mesh = get_mesh(n_dev) if n_dev > 1 else None
@@ -97,7 +107,12 @@ def train_joint(h, log_fn=print) -> None:
             count = 0
             for i in range(min(len(val_ds.speech_files), 8)):
                 val_ds.task_dict = [task]
-                noisy, clean, _ = val_ds.get_batch(i)
+                # fixed per-item seed: every validation pass must score
+                # the SAME noise/SNR/crop draws or the metric curves
+                # aren't comparable across steps (the shared-RNG call
+                # advances state between passes)
+                noisy, clean, _ = val_ds.get_batch(
+                    i, seed=int(h.seed) * 1_000_003 + i)
                 _, metrics = step_fns[task].eval_step(
                     gen_state, jnp.asarray(clean), jnp.asarray(noisy)
                 )
@@ -115,10 +130,16 @@ def train_joint(h, log_fn=print) -> None:
         """H2D prefetch on top of the threaded host loader: dispatch the
         next batch's transfer while the current step computes."""
         def put(noisy, clean, task):
-            cj, nj = jnp.asarray(clean), jnp.asarray(noisy)
-            if mesh is not None:
-                cj, nj = shard_batch(cj, mesh), shard_batch(nj, mesh)
-            return cj, nj, task
+            # single async H2D per shard, straight from the host arrays
+            if mesh is None:
+                return (jax.device_put(np.asarray(clean)),
+                        jax.device_put(np.asarray(noisy)), task)
+            sh = batch_sharding(mesh)
+            if jax.process_count() > 1:
+                mk = jax.make_array_from_process_local_data
+                return mk(sh, np.asarray(clean)), mk(sh, np.asarray(noisy)), task
+            return (jax.device_put(np.asarray(clean), sh),
+                    jax.device_put(np.asarray(noisy), sh), task)
 
         it = iter(loader)
         try:

@@ -476,12 +476,20 @@ class GANTrainer:
     """
 
     def __init__(self, h, generator, domain: str, rng, steps_per_epoch: int,
-                 example_input, mesh=None):
+                 example_input, mesh=None, joint_task: str | None = None):
         self.h = h
         self.generator = generator
         self.domain = domain
         self.mesh = mesh
-        self.fns = make_train_step(h, generator, domain, mesh=mesh)
+        if domain == "joint" and joint_task is None:
+            # the joint feature fn branches statically on the task; a
+            # silent default would train denoise batches through the
+            # vocoder (inverse-mel) input path
+            raise ValueError(
+                "domain='joint' requires joint_task='denoise'|'vocoder' "
+                "(one GANTrainer per task, as loop_joint builds)")
+        self.fns = make_train_step(h, generator, domain, mesh=mesh,
+                                   joint_task=joint_task)
         self.gen_state, self.disc_state = create_states(
             h, generator, domain, rng, steps_per_epoch, example_input
         )

@@ -93,6 +93,71 @@ def test_resample_cqt_accept_bf16():
     assert np.all(np.isfinite(np.asarray(re, np.float32)))
 
 
+def _native_or_skip():
+    from nvse_tpu.data import native as nat
+
+    if not nat.available():
+        pytest.skip("native lib not built")
+    return nat
+
+
+def test_native_extensible_float_wav(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE float32: the real format code lives in the
+    SubFormat GUID — regression: it was forced to PCM and the float bit
+    patterns decoded as int32 noise."""
+    import struct
+
+    nat = _native_or_skip()
+    sr, n = 22050, 1500
+    x = (0.4 * np.sin(2 * np.pi * 330 * np.arange(n) / sr)).astype("<f4")
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 4, 4, 32)
+    fmt += struct.pack("<HHI", 22, 32, 4) + struct.pack("<H", 3) + b"\x00" * 14
+    data = x.tobytes()
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    p = str(tmp_path / "ext.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    audio, got_sr = nat.read_wav_native(p)
+    assert got_sr == sr
+    np.testing.assert_allclose(audio[:n], x, atol=1e-6)
+
+
+def test_native_malformed_headers_fail_gracefully(tmp_path):
+    """bits=0 must not SIGFPE; a bogus data size must clamp to the file
+    length instead of driving a bad_alloc in a worker thread."""
+    import struct
+
+    nat = _native_or_skip()
+    sr = 22050
+    bad = str(tmp_path / "bad.wav")
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, 0, 0, 0)
+    body = b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", 100) + b"\x00" * 100
+    with open(bad, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    assert nat.read_wav_native(bad) is None
+
+    huge = str(tmp_path / "huge.wav")
+    pcm = (np.zeros(200, np.int16)).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", 0xFFFFFF00) + pcm
+    with open(huge, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    got = nat.read_wav_native(huge)
+    assert got is not None and got[0].shape == (200,)
+
+
+def test_short_clip_metrics_degrade_to_nan():
+    """Sub-window clips return nan/empty instead of IndexError."""
+    from nvse_tpu.metrics.dsp import estoi, stoi, yin_f0, yin_f0_conf
+
+    x = 0.1 * np.random.default_rng(0).standard_normal(900).astype(np.float32)
+    assert np.isnan(stoi(x, x, 24000)) and np.isnan(estoi(x, x, 24000))
+    assert yin_f0(x, 24000).shape == (0,)
+    f0, conf = yin_f0_conf(x, 24000)
+    assert f0.shape == (0,) and conf.shape == (0,)
+
+
 def test_stft_window_none_matches_torch():
     """window=None == ones(win_length) zero-padded to n_fft in torch —
     differs from ones(n_fft) whenever win_size < n_fft."""

@@ -36,12 +36,25 @@ ds = SegmentDataset(files, segment_size=4, sampling_rate=22050,
                     num_shards=jax.process_count())
 gathered = multihost_utils.process_allgather(
     np.array([jax.process_index()], np.int32))
+
+# global-mesh data parallelism: each process contributes 2 local batch
+# rows; a jitted mean over the global batch must see BOTH hosts' data
+# (the cross-host all-reduce the training mesh relies on)
+from nvse_tpu.parallel import batch_sharding, get_mesh
+mesh = get_mesh(4, global_=True)
+local = np.full((2, 8), float(jax.process_index() + 1), np.float32)
+garr = jax.make_array_from_process_local_data(batch_sharding(mesh), local)
+import jax.numpy as jnp
+gmean = float(jax.jit(lambda a: jnp.mean(a))(garr))  # -> (1+2)/2 = 1.5
+
 print("RESULT " + json.dumps({
     "pid": jax.process_index(),
     "count": jax.process_count(),
     "global_devices": len(jax.devices()),
     "shard": ds.files,
     "allgather": np.asarray(gathered).ravel().tolist(),
+    "global_mean": gmean,
+    "mesh_size": int(mesh.devices.size),
 }))
 """
 
@@ -81,6 +94,9 @@ def test_two_process_filelist_sharding(tmp_path):
         assert r["count"] == 2
         assert r["global_devices"] == 4  # 2 local x 2 processes
         assert r["allgather"] == [0, 1]  # cross-process collective ran
+        assert r["mesh_size"] == 4      # global mesh spans both hosts
+        # mean over the global batch mixes both processes' rows
+        assert abs(r["global_mean"] - 1.5) < 1e-6
 
     s0, s1 = set(results[0]["shard"]), set(results[1]["shard"])
     assert s0.isdisjoint(s1)
