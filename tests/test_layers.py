@@ -108,6 +108,7 @@ def test_lstm_matches_torch(bidirectional):
 
 def test_spectral_norm_conv_close_to_torch():
     """After convergence of power iteration both should divide by sigma_max."""
+    torch.manual_seed(7)
     tconv = torch.nn.utils.spectral_norm(torch.nn.Conv1d(4, 6, 3, padding=1))
     x = _x(2, 16, 4)
     xt = torch.from_numpy(x).permute(0, 2, 1)
@@ -135,6 +136,8 @@ def test_spectral_norm_gradient_matches_torch():
     """torch backprops through sigma = u^T W v (u,v detached buffers);
     the port must too — stop_gradient around sigma gives d(W/sigma)/dW =
     1/sigma instead of the quotient rule, changing D dynamics."""
+    torch.manual_seed(7)  # unseeded weights made this order-dependent:
+    # power iteration converges at different rates per random draw
     tconv = torch.nn.utils.spectral_norm(torch.nn.Conv1d(4, 6, 3, padding=1))
     x = _x(2, 16, 4)
     xt = torch.from_numpy(x).permute(0, 2, 1)
