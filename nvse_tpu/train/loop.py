@@ -29,7 +29,7 @@ from ..models import build_generator
 from ..parallel import SEQ_AXIS, batch_sharding, get_mesh
 from ..utils import build_env
 from .checkpoint import restore_checkpoint, save_checkpoint, wait_for_checkpoints
-from .trainer import create_states, make_train_step
+from .trainer import create_states, fetch_scalars, make_train_step
 
 
 def _plot_spectrogram(spec: np.ndarray):
@@ -165,7 +165,11 @@ def train(h, log_fn=print) -> None:
     gt_logged = [False]
 
     def validate(step: int) -> None:
-        agg: dict[str, float] = {}
+        # metric rows stay ON DEVICE until one stacked fetch at the end:
+        # per-item per-scalar float() is a tunnel round trip each, which
+        # made every validation pass minutes long
+        dev_rows: list = []
+        keys: list[str] | None = None
         count = 0
         # all-ground-truth-adds-succeeded flag for THIS pass; a single
         # failure anywhere must keep it False so the next pass retries
@@ -182,8 +186,10 @@ def train(h, log_fn=print) -> None:
             audio = jnp.asarray(
                 val_ds.segment_at(i, _random.Random(0x5EED + i))[None, :])
             y_g, metrics = fns.eval_step(gen_state, audio, None)
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            if keys is None:
+                keys = sorted(metrics)
+            dev_rows.append(jnp.stack([jnp.asarray(metrics[k], jnp.float32)
+                                       for k in keys]))
             count += 1
             if sw is not None and i < 4:
                 try:  # tensorboardX audio encoding needs soundfile
@@ -216,9 +222,11 @@ def train(h, log_fn=print) -> None:
         if sw is not None and gt_added[0] and count:
             gt_logged[0] = True
         if count:
+            sums = np.asarray(jnp.sum(jnp.stack(dev_rows), axis=0))
+            agg = dict(zip(keys, sums))
             for k, v in agg.items():
                 if sw is not None:
-                    sw.add_scalar(f"validation/{k}", v / count, step)
+                    sw.add_scalar(f"validation/{k}", float(v) / count, step)
             log_fn(f"step {step} validation: " +
                    " ".join(f"{k}={v / count:.4f}" for k, v in sorted(agg.items())))
 
@@ -261,8 +269,14 @@ def train(h, log_fn=print) -> None:
                 gen_state, disc_state, audio, None
             )
 
-            if steps % h.stdout_interval == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+            want_stdout = steps % h.stdout_interval == 0
+            want_summary = sw is not None and steps % h.summary_interval == 0
+            if want_stdout or want_summary:
+                # ONE device->host transfer for the whole metrics dict:
+                # per-scalar float() is a full tunnel round trip each
+                # (measured ~160s per 12-scalar fetch pair on axon)
+                m = fetch_scalars(metrics)
+            if want_stdout:
                 log_fn(f"epoch {epoch + 1} step {steps} "
                        + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
                        + f" ({time.time() - t_step:.3f}s/b)")
@@ -273,9 +287,9 @@ def train(h, log_fn=print) -> None:
                                 async_save=bool(h.get("async_checkpoint", True)))
                 log_fn(f"saved checkpoint at step {steps}")
 
-            if sw is not None and steps % h.summary_interval == 0:
-                for k, v in metrics.items():
-                    sw.add_scalar(f"training/{k}", float(v), steps)
+            if want_summary:
+                for k, v in m.items():
+                    sw.add_scalar(f"training/{k}", v, steps)
 
             if steps % h.validation_interval == 0:
                 validate(steps)

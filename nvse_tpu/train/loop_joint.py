@@ -20,7 +20,7 @@ from ..models import build_generator
 from ..parallel import batch_sharding, get_mesh
 from ..utils import build_env
 from .checkpoint import restore_checkpoint, save_checkpoint, wait_for_checkpoints
-from .trainer import create_states, make_train_step
+from .trainer import create_states, fetch_scalars, make_train_step
 
 
 def train_joint(h, log_fn=print) -> None:
@@ -103,7 +103,7 @@ def train_joint(h, log_fn=print) -> None:
         if val_ds is None:
             return
         for task in ("denoise", "vocoder"):
-            agg: dict[str, float] = {}
+            dev_rows, keys = [], None  # one fetch per task, not per scalar
             count = 0
             for i in range(min(len(val_ds.speech_files), 8)):
                 val_ds.task_dict = [task]
@@ -116,10 +116,14 @@ def train_joint(h, log_fn=print) -> None:
                 _, metrics = step_fns[task].eval_step(
                     gen_state, jnp.asarray(clean), jnp.asarray(noisy)
                 )
-                for k, v in metrics.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+                if keys is None:
+                    keys = sorted(metrics)
+                dev_rows.append(jnp.stack(
+                    [jnp.asarray(metrics[k], jnp.float32) for k in keys]))
                 count += 1
             if count:
+                sums = np.asarray(jnp.sum(jnp.stack(dev_rows), axis=0))
+                agg = dict(zip(keys, [float(v) for v in sums]))
                 for k, v in agg.items():
                     if sw is not None:
                         sw.add_scalar(f"validation/{task}/{k}", v / count, step)
@@ -158,17 +162,23 @@ def train_joint(h, log_fn=print) -> None:
                 gen_state, disc_state, clean_j, noisy_j
             )
 
-            if steps % h.stdout_interval == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+            want_stdout = steps % h.stdout_interval == 0
+            want_summary = sw is not None and steps % h.summary_interval == 0
+            if want_stdout or want_summary:
+                # ONE device->host transfer for the whole metrics dict
+                # (per-scalar float() is a tunnel round trip each;
+                # measured ~160s per stdout step on axon)
+                m = fetch_scalars(metrics)
+            if want_stdout:
                 log_fn(f"epoch {epoch + 1} step {steps} task={task} "
                        + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())))
             if steps % h.checkpoint_interval == 0 and steps != 0:
                 save_checkpoint(h.checkpoint_path, steps, epoch, gen_state,
                                 disc_state, max_to_keep=h.max_to_keep,
                                 async_save=bool(h.get("async_checkpoint", True)))
-            if sw is not None and steps % h.summary_interval == 0:
-                for k, v in metrics.items():
-                    sw.add_scalar(f"training/{task}/{k}", float(v), steps)
+            if want_summary:
+                for k, v in m.items():
+                    sw.add_scalar(f"training/{task}/{k}", v, steps)
             if steps % h.validation_interval == 0:
                 validate(steps)
 

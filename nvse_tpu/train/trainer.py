@@ -39,6 +39,7 @@ import dataclasses
 from typing import Any, Callable
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 from flax.training import train_state
@@ -56,6 +57,20 @@ from ..losses import (
 from ..models import MultiPeriodDiscriminator, MultiResolutionDiscriminator, MultiScaleDiscriminator
 from ..ops import amp_pha_spectrum, inverse_mel, mel_spectrogram
 from ..parallel import batch_sharding, replicated_sharding
+
+
+def fetch_scalars(metrics: dict) -> dict:
+    """Fetch a dict of device scalars in ONE device->host transfer.
+
+    Through the remote-TPU tunnel every individual float(x) is a full
+    round trip (~seconds each); a 12-entry metrics dict fetched
+    per-scalar turned stdout/summary steps into minute-long stalls.
+    Stacking on device first makes it one tiny execute + one transfer.
+    """
+    keys = sorted(metrics)
+    vals = np.asarray(jnp.stack([jnp.asarray(metrics[k], jnp.float32)
+                                 for k in keys]))
+    return {k: float(v) for k, v in zip(keys, vals)}
 
 
 class GenState(train_state.TrainState):
