@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import griffin_lim, hann_window, inverse_mel, istft_ri
+from ..ops.pallas_tcn import tcn_block_tail
 from .layers import Conv1d, ConvTranspose1d
 
 
@@ -85,6 +86,17 @@ class Conv1DBlock(nn.Module):
     skip_con: bool
     causal: bool = False
     norm: str = "gln"
+    fused_tcn: bool = False
+
+    def _fusable(self) -> bool:
+        """The fused Pallas tail (ops/pallas_tcn.py) covers the shipped
+        config's shape family: non-causal k=3 gLN blocks with lane-
+        aligned channels and dilation within the halo."""
+        return (self.fused_tcn and self.skip_con and not self.causal
+                and self.kernel_size == 3 and self.norm.lower() == "gln"
+                and self.dilation <= 128
+                and self.in_channels % 128 == 0
+                and self.out_channels % 128 == 0)
 
     @nn.compact
     def __call__(self, x):
@@ -92,6 +104,26 @@ class Conv1DBlock(nn.Module):
         pad = full if self.causal else full // 2
         c = Conv1d(self.in_channels, self.out_channels, 1)(x)
         c = PReLU()(c)
+        if self._fusable() and not self.is_initializing():
+            # read the unfused submodules' params directly (they are
+            # created by the init/unfused path below, so checkpoints
+            # and the torch importer see an unchanged tree) and run
+            # the single-pass fused tail
+            p = self.variables["params"]
+            gln, dw = p["GlobalLayerNorm_0"], p["Conv1d_1"]
+            res, skip = p["Conv1d_2"], p["Conv1d_3"]
+            H, Bc = self.out_channels, self.in_channels
+            e, sk = tcn_block_tail(
+                c, x,
+                gln["weight"].reshape(1, H), gln["bias"].reshape(1, H),
+                dw["kernel"].reshape(self.kernel_size, H),
+                dw["bias"].reshape(1, H),
+                jnp.concatenate([res["kernel"].reshape(H, Bc),
+                                 skip["kernel"].reshape(H, Bc)], axis=1),
+                jnp.concatenate([res["bias"], skip["bias"]]).reshape(1, 2 * Bc),
+                self.dilation,
+            )
+            return e, sk
         c = _select_norm(self.norm, self.out_channels)(c)
         c = Conv1d(self.out_channels, self.out_channels, self.kernel_size,
                    groups=self.out_channels, padding=pad, dilation=self.dilation)(c)
@@ -129,6 +161,11 @@ class ConvTasNet(nn.Module):
     init_phase: str = "griffin_lim"
     causal: bool = False
     norm: str = "gln"
+    # fused Pallas TCN tail (ops/pallas_tcn.py): on by default — it is
+    # a no-op off-TPU and carries an XLA-recompute VJP, so training
+    # and CPU oracles are unaffected; set "fused_tcn": 0 to force the
+    # unfused XLA path
+    fused_tcn: bool = True
 
     @classmethod
     def from_config(cls, h) -> "ConvTasNet":
@@ -138,6 +175,7 @@ class ConvTasNet(nn.Module):
             N=h.N, L=h.L, B=h.B, H=h.H, P=h.P, X=h.X, R=h.R,
             num_spks=h.num_spks, skip_con=h.skip_con, init_phase=h.init_phase,
             causal=bool(h.get("causal", False)), norm=str(h.get("norm", "gln")),
+            fused_tcn=bool(h.get("fused_tcn", True)),
         )
 
     def _initial_wave(self, inv_amp):
@@ -181,7 +219,7 @@ class ConvTasNet(nn.Module):
         for _r in range(self.R):
             for i in range(self.X):
                 e, skip = Conv1DBlock(self.B, self.H, self.P, 2**i, self.skip_con,
-                                      self.causal, self.norm)(e)
+                                      self.causal, self.norm, self.fused_tcn)(e)
                 if self.skip_con:
                     skip_sum = skip_sum + skip
         feat = skip_sum if self.skip_con else e
