@@ -161,11 +161,14 @@ class ConvTasNet(nn.Module):
     init_phase: str = "griffin_lim"
     causal: bool = False
     norm: str = "gln"
-    # fused Pallas TCN tail (ops/pallas_tcn.py): on by default — it is
-    # a no-op off-TPU and carries an XLA-recompute VJP, so training
-    # and CPU oracles are unaffected; set "fused_tcn": 0 to force the
-    # unfused XLA path
-    fused_tcn: bool = True
+    # fused Pallas TCN tail (ops/pallas_tcn.py): OFF by default — the
+    # v5e A/B (bench_fleet --set fused_tcn=1 vs 0, batch 8 x 1024
+    # frames) measured the kernel at 519x RT vs 694x for XLA's own
+    # fusion of the unfused path; the two-phase stats pass plus halo
+    # re-reads cost more than the saved intermediates. Kept opt-in for
+    # longer-sequence/streaming shapes where the (B,T,512) intermediates
+    # exceed what XLA keeps fused.
+    fused_tcn: bool = False
 
     @classmethod
     def from_config(cls, h) -> "ConvTasNet":
@@ -175,7 +178,7 @@ class ConvTasNet(nn.Module):
             N=h.N, L=h.L, B=h.B, H=h.H, P=h.P, X=h.X, R=h.R,
             num_spks=h.num_spks, skip_con=h.skip_con, init_phase=h.init_phase,
             causal=bool(h.get("causal", False)), norm=str(h.get("norm", "gln")),
-            fused_tcn=bool(h.get("fused_tcn", True)),
+            fused_tcn=bool(h.get("fused_tcn", False)),
         )
 
     def _initial_wave(self, inv_amp):

@@ -25,6 +25,15 @@ re-derives the cotangents through the pure-XLA reference tail
 (recompute — same policy as ops/pallas_lstm.py), so the fused path is
 safe under `jax.grad` even though training normally keeps the unfused
 module path.
+
+MEASURED OUTCOME (v5e, bench_fleet batch 8 x 1024 frames): the kernel
+is SLOWER than XLA's own fusion of the unfused tail — 519x vs 694x RT
+full-model. The separate stats reduction re-reads `c`, the halo blocks
+re-read another ~50% of it, and XLA already keeps the norm epilogue
+fused into the depthwise conv, so the saved intermediates don't pay
+for the extra traffic at this shape. The model therefore defaults to
+`fused_tcn=False`; the kernel stays available (config "fused_tcn": 1)
+for much longer sequences where XLA's fusion windows break down.
 """
 from __future__ import annotations
 
@@ -87,7 +96,7 @@ def _tcn_kernel(d: int, Tt: int, T: int, Bc: int):
         grow = (t * Tt - d
                 + jax.lax.broadcasted_iota(jnp.int32, (Tt + 2 * d, 1), 0))
         valid = (grow >= 0) & (grow < T)
-        wn = jnp.where(valid, win.astype(jnp.float32) * a_ref[...] + b2_ref[...], 0.0)
+        wn = jnp.where(valid, win.astype(jnp.float32) * a_ref[0] + b2_ref[0], 0.0)
         q = (wn[0:Tt] * wdw_ref[0:1, :]
              + wn[d:Tt + d] * wdw_ref[1:2, :]
              + wn[2 * d:Tt + 2 * d] * wdw_ref[2:3, :]
@@ -128,8 +137,11 @@ def _pallas_tail(c, x, a, b2, w_dw, b_dw, w_rs, b_rs, dilation: int,
         _tcn_kernel(d, Tt, T, Bc),
         grid=(B, Tp // Tt),
         in_specs=[
-            pl.BlockSpec((1, H), lambda b, t: (b, 0)),                    # a
-            pl.BlockSpec((1, H), lambda b, t: (b, 0)),                    # b2
+            # (B, 1, H) so the trailing block dims (1, H) exactly match
+            # the array dims — the TPU lowering requires the last two
+            # block dims be (8, 128)-divisible or full-extent
+            pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0)),              # a
+            pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0)),              # b2
             pl.BlockSpec((1, _HALO, H),
                          lambda b, t: (b, jnp.maximum(t * r - 1, 0), 0)),  # left halo
             pl.BlockSpec((1, Tt, H), lambda b, t: (b, t, 0)),             # center
@@ -147,7 +159,7 @@ def _pallas_tail(c, x, a, b2, w_dw, b_dw, w_rs, b_rs, dilation: int,
         ],
         out_shape=[jax.ShapeDtypeStruct((B, Tp, Bc), x.dtype)] * 2,
         interpret=interpret,
-    )(a, b2, c, c, c, x, w_dw, b_dw, w_rs, b_rs)
+    )(a[:, None], b2[:, None], c, c, c, x, w_dw, b_dw, w_rs, b_rs)
     if Tp != T:
         eo, sk = eo[:, :T], sk[:, :T]
     return eo, sk

@@ -113,7 +113,19 @@ def main() -> None:
                    choices=["float32", "bfloat16"],
                    help="inference compute dtype (bf16 halves the HBM "
                         "stream of bandwidth-bound conv models)")
+    p.add_argument("--set", action="append", default=[], dest="sets",
+                   metavar="KEY=VAL",
+                   help="extra config override applied to every benched "
+                        "model (VAL parsed as JSON when possible), e.g. "
+                        "--set fused_tcn=0 for an A/B of the fused path")
     args = p.parse_args()
+    extra = {}
+    for kv in args.sets:
+        k, _, v = kv.partition("=")
+        try:
+            extra[k] = json.loads(v)
+        except ValueError:
+            extra[k] = v
 
     import jax
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
@@ -125,7 +137,8 @@ def main() -> None:
         try:
             cfg_name, overrides = CONFIGS[name]
             row = bench_model(name, cfg_name, args.iters, args.batch,
-                              args.frames, overrides, args.dtype)
+                              args.frames, {**(overrides or {}), **extra},
+                              args.dtype)
             print(json.dumps(row))
             rows.append(row)
         except Exception as e:  # keep sweeping; record the failure
