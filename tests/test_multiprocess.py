@@ -15,6 +15,9 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.mesh
 
 _WORKER = r"""
 import json, os, sys

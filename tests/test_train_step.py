@@ -69,6 +69,7 @@ def test_one_train_step(case):
     assert np.isfinite(float(m2["G"]))
 
 
+@pytest.mark.mesh
 def test_data_parallel_step_over_mesh():
     h = _h(model_name="HiFiGAN", resblock="2",
            upsample_rates=[8, 8, 2, 2], upsample_kernel_sizes=[16, 16, 4, 4],
@@ -86,6 +87,7 @@ def test_data_parallel_step_over_mesh():
     assert np.isfinite(float(metrics["D"]))
 
 
+@pytest.mark.mesh
 def test_sequence_parallel_step_matches_data_parallel():
     """dp×sp 2-D mesh (4 data × 2 seq): the BSRNN dual-path trunk shards
     bands during the time-LSTM and frames during the band-LSTM (GSPMD
@@ -233,3 +235,41 @@ def test_skip_nonfinite_updates():
     assert float(m2["skip"]) == 0.0
     assert _tree_l2_diff(tr.gen_state.params, g0) > 0.0
     assert int(tr.gen_state.step) == step0 + 1
+
+
+def test_eval_full_mask_invariance_and_crop_comparison():
+    """Full-utterance validation (eval_full): the frame-pure masked
+    metrics (A/IP/GD/PTD/R/I — computed directly on spectra frames)
+    must be IDENTICAL whether a causal-model utterance is padded to its
+    exact bucket or to a larger one, because the mask only admits
+    frames whose analysis windows never touch the padding. Mel/C
+    re-analyse the generated waveform (istft smears the boundary), so
+    they are only close. Also sanity-compares the crop-path eval_step
+    aggregate on the same audio."""
+    h = _h(model_name="BSRNN", feature_dim=16, num_repeat=1, dropout=0.0,
+           causal=True, batch_size=1)
+    gen, domain = build_generator(h)
+    example = jnp.zeros((1, 80, 9))
+    from nvse_tpu.train.trainer import create_states, make_train_step
+    gen_state, _disc = create_states(h, gen, domain, jax.random.PRNGKey(0),
+                                     10, example)
+    fns = make_train_step(h, gen, domain)
+
+    n = 4096
+    wav = _audio(1, n)[0]
+    a1 = jnp.asarray(wav[None, :])                       # exact bucket
+    a2 = jnp.asarray(np.pad(wav, (0, 4096))[None, :])    # one extra bucket
+    _, m1 = fns.eval_full(gen_state, a1, jnp.asarray(n, jnp.int32))
+    _, m2 = fns.eval_full(gen_state, a2, jnp.asarray(n, jnp.int32))
+    for k in ("A", "IP", "GD", "PTD", "R", "I"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5,
+                                   err_msg=k)
+    for k in ("Mel", "C"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=0.35,
+                                   err_msg=k)
+    # crop-path comparison: same keys, same order of magnitude
+    _, mc = fns.eval_step(gen_state, a1, None)
+    assert set(mc) == set(m1)
+    for k in m1:
+        assert np.isfinite(float(mc[k])) and np.isfinite(float(m1[k])), k
+        assert float(m1[k]) <= 10 * float(mc[k]) + 1.0, (k, m1[k], mc[k])
