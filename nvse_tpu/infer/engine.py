@@ -25,6 +25,7 @@ import numpy as np
 
 from ..data import load_wav, write_wav
 from ..models import build_generator, model_input_bins
+from ..models.layers import fold_weight_norm
 from ..ops import mel_spectrogram
 from ..parallel import batch_sharding, get_mesh, replicated_sharding
 from ..train.checkpoint import load_generator_params, scan_checkpoint
@@ -57,6 +58,14 @@ class InferenceEngine:
                 )
             else:
                 self.params = template  # random init (benchmarks / smoke)
+        # remove_weight_norm parity (reference Models/hifigan.py:126-133,
+        # applied in every inference script before decoding): fold each
+        # (v, g) pair into a plain kernel so the per-forward g·v/‖v‖
+        # recompute disappears from the decode graph. Opt-out via
+        # h.fold_weight_norm=false (e.g. to decode with training-shaped
+        # params mid-run).
+        if bool(self.h.get("fold_weight_norm", True)):
+            self.params = fold_weight_norm(self.params)
         # Multi-chip serving: h.infer_dp_devices = N (or -1 for all
         # local devices) shards the decode batch over a 1-D data mesh —
         # params replicated once, batch rows split over ICI-connected

@@ -73,6 +73,13 @@ def export_decoder(h, params, path: str, batch: int = 1,
 
     gen, _domain = build_generator(h)
     run = _decode_fn(h, gen)
+    # remove_weight_norm parity (Models/hifigan.py:126-133): fold (v, g)
+    # pairs into plain kernels before embedding as constants — smaller
+    # artifact (one tensor per conv instead of two) and no dead
+    # normalisation arithmetic in the exported program
+    if bool(h.get("fold_weight_norm", True)):
+        from ..models.layers import fold_weight_norm
+        params = fold_weight_norm(params)
     params = jax.tree.map(jnp.asarray, params)
     fn = jax.jit(lambda mel: run(params, mel))
 

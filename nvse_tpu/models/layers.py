@@ -75,6 +75,59 @@ def _norm_except_axis(v: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
 
 
+def fold_weight_norm(params):
+    """Fold every weight-norm (v, g) pair into a plain 'kernel'.
+
+    The `remove_weight_norm` contract of the reference
+    (Models/hifigan.py:126-133, called before decoding in every
+    inference script, e.g. infers/inference_bsrnn.py:60-63): at
+    inference the g·v/‖v‖ recompute is dead weight, so the folded
+    kernel w = g·v/‖v‖ replaces the pair. The conv layers detect the
+    folded parameter structure at apply time (has_variable('params',
+    'kernel')) and skip the normalisation — outputs are bitwise the
+    products of the same floats, so folded == unfolded to float
+    rounding. Returns a NEW tree; inputs untouched. Spectral norm
+    (MSD) is deliberately NOT folded: discriminators never run at
+    inference, and folding would bake a power-iteration estimate into
+    the weights.
+    """
+    def fold(node):
+        if not isinstance(node, dict):
+            return node
+        if "v" in node and "g" in node and hasattr(node["v"], "ndim"):
+            v, g = node["v"], node["g"]
+            if getattr(g, "ndim", None) == v.ndim:
+                # the norm axis is the one where g matches v (others are
+                # broadcast 1s); for 1-channel convs g is all-ones and
+                # any size-1 axis gives the identical full-tensor norm
+                axis = next(
+                    i for i in range(v.ndim)
+                    if g.shape[i] == v.shape[i]
+                    and all(g.shape[j] == 1 for j in range(v.ndim) if j != i)
+                )
+                w = g * v / jnp.maximum(_norm_except_axis(v, axis), 1e-12)
+                rest = {k: fold(val) for k, val in node.items()
+                        if k not in ("v", "g")}
+                return {"kernel": w, **rest}
+        return {k: fold(val) for k, val in node.items()}
+
+    if hasattr(params, "unfreeze"):  # FrozenDict
+        params = params.unfreeze()
+    return fold(params)
+
+
+def _wn_folded(mod: nn.Module) -> bool:
+    """True when this layer is being applied with FOLDED params.
+
+    Folded params (fold_weight_norm) carry 'kernel' where the module
+    would otherwise declare ('v', 'g'); detecting the structure at apply
+    time keeps the fold a pure parameter transform — no module flags, no
+    global state, training paths untouched. During init nothing exists
+    yet, so the unfolded parameterisation is always created.
+    """
+    return (not mod.is_initializing()) and mod.has_variable("params", "kernel")
+
+
 class Conv1d(nn.Module):
     """torch.nn.Conv1d semantics on (B, T, C) inputs.
 
@@ -102,7 +155,7 @@ class Conv1d(nn.Module):
         kinit = self.kernel_init or torch_conv_init(fan_in)
         # kernel layout (k, cin/groups, cout) == flax 'WIO'
         kshape = (k, cin // g, cout)
-        if self.use_weight_norm:
+        if self.use_weight_norm and not _wn_folded(self):
             v = self.param("v", kinit, kshape)
             gscale = self.param(
                 "g", lambda rng, shape: _norm_except_axis(v, axis=2).reshape(shape), (1, 1, cout)
@@ -157,7 +210,7 @@ class ConvTranspose1d(nn.Module):
         fan_in = cout * k
         kinit = self.kernel_init or torch_conv_init(fan_in)
         kshape = (k, cin, cout)  # (spatial, in, out)
-        if self.use_weight_norm:
+        if self.use_weight_norm and not _wn_folded(self):
             v = self.param("v", kinit, kshape)
             gscale = self.param(
                 "g", lambda rng, shape: _norm_except_axis(v, axis=1).reshape(shape), (1, cin, 1)
@@ -208,7 +261,7 @@ class Conv2d(nn.Module):
         fan_in = (cin // g) * kh * kw
         kinit = self.kernel_init or torch_conv_init(fan_in)
         kshape = (kh, kw, cin // g, cout)
-        if self.use_weight_norm:
+        if self.use_weight_norm and not _wn_folded(self):
             v = self.param("v", kinit, kshape)
             gscale = self.param(
                 "g", lambda rng, shape: _norm_except_axis(v, axis=3).reshape(shape), (1, 1, 1, cout)
@@ -255,7 +308,7 @@ class ConvTranspose2d(nn.Module):
         fan_in = cout * kh * kw
         kinit = self.kernel_init or torch_conv_init(fan_in)
         kshape = (kh, kw, cin, cout)
-        if self.use_weight_norm:
+        if self.use_weight_norm and not _wn_folded(self):
             v = self.param("v", kinit, kshape)
             gscale = self.param(
                 "g", lambda rng, shape: _norm_except_axis(v, axis=2).reshape(shape), (1, 1, cin, 1)

@@ -175,3 +175,59 @@ def test_weightnorm_g_initialised_to_norm():
     g = variables["params"]["g"]
     norms = np.sqrt((np.asarray(v) ** 2).sum(axis=(0, 1)))
     np.testing.assert_allclose(np.asarray(g).ravel(), norms, rtol=1e-6)
+
+
+def test_fold_weight_norm_layer_parity():
+    """fold_weight_norm: folded kernels through the same layers ==
+    unfolded (v, g) outputs, for all four conv types incl. the
+    degenerate 1-out-channel case (HiFiGAN conv_post) where g is a
+    scalar and the norm runs over the whole tensor."""
+    cases = [
+        (L.Conv1d(4, 8, 3, padding=1, use_weight_norm=True), (2, 32, 4)),
+        (L.Conv1d(6, 1, 7, padding=3, use_weight_norm=True), (2, 32, 6)),
+        (L.ConvTranspose1d(4, 8, 8, stride=4, padding=2, use_weight_norm=True), (2, 16, 4)),
+        (L.Conv2d(3, 5, (3, 3), padding=(1, 1), use_weight_norm=True), (2, 8, 8, 3)),
+        (L.ConvTranspose2d(3, 5, (4, 4), stride=(2, 2), padding=(1, 1),
+                           use_weight_norm=True), (2, 8, 8, 3)),
+    ]
+    for i, (mod, shape) in enumerate(cases):
+        x = jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
+        params = mod.init(jax.random.PRNGKey(i), x)["params"]
+        # perturb g away from its ||v|| init so the fold is non-trivial
+        params["g"] = params["g"] * (1.0 + 0.3 * jnp.cos(jnp.arange(params["g"].size))
+                                     .reshape(params["g"].shape))
+        want = mod.apply({"params": params}, x)
+        folded = L.fold_weight_norm(params)
+        assert "v" not in folded and "g" not in folded and "kernel" in folded, folded.keys()
+        got = mod.apply({"params": folded}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fold_weight_norm_model_parity():
+    """End-to-end: a tiny weight-normed HiFiGAN decodes identically with
+    folded params (remove_weight_norm contract, Models/hifigan.py:126-133)."""
+    from nvse_tpu.models import build_generator
+    from nvse_tpu.utils import AttrDict
+
+    h = AttrDict(dict(
+        model_name="HiFiGAN", resblock="2", upsample_rates=[8, 2],
+        upsample_kernel_sizes=[16, 4], upsample_initial_channel=16,
+        resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]],
+        sampling_rate=22050, n_fft=1024, hop_size=256, win_size=1024,
+        num_mels=80, fmin=0, fmax=8000,
+    ))
+    gen, _ = build_generator(h)
+    mel = jnp.asarray(RNG.standard_normal((1, 80, 11)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(3), mel)["params"]
+    want = gen.apply({"params": params}, mel)
+    want = want[-1] if isinstance(want, tuple) else want
+    folded = L.fold_weight_norm(params)
+    got = gen.apply({"params": folded}, mel)
+    got = got[-1] if isinstance(got, tuple) else got
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # every (v, g) pair is gone from the folded tree
+    flat = jax.tree_util.tree_flatten_with_path(folded)[0]
+    names = {p[-1].key for p, _ in flat}
+    assert "v" not in names and "g" not in names
