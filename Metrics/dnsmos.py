@@ -7,9 +7,12 @@ CLI contract matches the reference Metrics/DNSMOS/dnsmos_local.py:
 
 Scoring logic lives in nvse_tpu/metrics/dnsmos.py (9.01 s hops, raw +
 polynomial-calibrated SIG/BAK/OVRL, P.808 MOS from log-mel features,
-per-file CSV). Requires onnxruntime + the Microsoft DNS-Challenge model
-files (the reference vendors them at Metrics/DNSMOS/DNSMOS/; ONNX
-assets, not code).
+per-file CSV). Executes the Microsoft DNS-Challenge ONNX models with
+onnxruntime when installed, else with the built-in numpy ONNX executor
+(nvse_tpu/metrics/onnx_np.py) — no extra dependency needed. The model
+files themselves (DNSMOS/sig_bak_ovr.onnx, DNSMOS/model_v8.onnx — ONNX
+assets, not code) are vendored by the reference at Metrics/DNSMOS/; set
+--model_dir (or NVSE_DNSMOS_DIR) to wherever they live.
 """
 import argparse
 import os
@@ -25,26 +28,18 @@ def main() -> None:
     p.add_argument("--deg_dir", "-t", required=True,
                    help="dir of wav clips to be evaluated")
     p.add_argument("--model_dir",
-                   default=os.path.join(os.path.dirname(__file__), "DNSMOS"),
+                   default=os.environ.get(
+                       "NVSE_DNSMOS_DIR",
+                       os.path.join(os.path.dirname(__file__), "DNSMOS")),
                    help="dir containing DNSMOS/sig_bak_ovr.onnx, "
                         "DNSMOS/model_v8.onnx (and pDNSMOS/ for -p) — "
-                        "defaults to Metrics/DNSMOS so the vendored "
-                        "Metrics/DNSMOS/DNSMOS/*.onnx layout resolves")
+                        "defaults to $NVSE_DNSMOS_DIR, else Metrics/DNSMOS "
+                        "(the reference's vendored layout)")
     p.add_argument("--csv_path", "-o", default=None,
                    help="write per-file results to this CSV")
     p.add_argument("--personalized_MOS", "-p", action="store_true",
                    help="use the personalized (pDNSMOS) calibration/model")
     args = p.parse_args()
-
-    try:
-        import onnxruntime  # noqa: F401
-    except ImportError:
-        raise SystemExit(
-            "onnxruntime is not installed in this environment. DNSMOS is a "
-            "learned MOS predictor (ONNX model inference on host CPU); "
-            "install onnxruntime and place the DNS-Challenge models under "
-            f"{args.model_dir} to score."
-        )
 
     from nvse_tpu.metrics.dnsmos import score_dir
 

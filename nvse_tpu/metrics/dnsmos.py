@@ -1,7 +1,8 @@
 """DNSMOS scoring: P.835 (SIG/BAK/OVRL) + P.808 MOS over wav files.
 
 Re-implements the reference Metrics/DNSMOS/dnsmos_local.py:22-145 on
-top of onnxruntime (host CPU):
+host CPU — onnxruntime when installed, else the built-in numpy ONNX
+executor (metrics/onnx_np.py), so scoring needs no extra dependency:
 
   * primary model ``sig_bak_ovr.onnx`` — raw 9.01 s waveform in,
     (sig, bak, ovr) raw out, published polynomial calibration applied
@@ -112,10 +113,21 @@ class ComputeScore:
         return row
 
 
+def _make_session(path: str):
+    """onnxruntime when available (fastest), else the built-in numpy
+    ONNX executor (metrics/onnx_np.py) — the DNSMOS graphs are small
+    feed-forward CNNs, so the numpy path scores a 9 s clip in ~1 s/core."""
+    try:
+        import onnxruntime as ort
+        return ort.InferenceSession(path)
+    except ImportError:
+        from .onnx_np import NumpyOnnxSession
+        return NumpyOnnxSession(path)
+
+
 def score_dir(deg_dir: str, model_dir: str, csv_path: str | None = None,
               is_personalized: bool = False, workers: int = 8) -> list[dict]:
     """Score every wav under deg_dir; write per-file CSV if requested."""
-    import onnxruntime as ort
 
     sub = "pDNSMOS" if is_personalized else "DNSMOS"
     primary_path = os.path.join(model_dir, sub, "sig_bak_ovr.onnx")
@@ -132,8 +144,8 @@ def score_dir(deg_dir: str, model_dir: str, csv_path: str | None = None,
     if not os.path.exists(p808_path):
         p808_path = os.path.join(model_dir, "model_v8.onnx")
 
-    primary = ort.InferenceSession(primary_path) if os.path.exists(primary_path) else None
-    p808 = ort.InferenceSession(p808_path) if os.path.exists(p808_path) else None
+    primary = _make_session(primary_path) if os.path.exists(primary_path) else None
+    p808 = _make_session(p808_path) if os.path.exists(p808_path) else None
     if primary is None and p808 is None:
         raise FileNotFoundError(
             f"no DNSMOS onnx models under {model_dir} "

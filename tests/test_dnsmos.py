@@ -124,3 +124,22 @@ def test_real_onnx_models_load():
                   SAMPLING_RATE)
         row = scorer(path)
     assert np.isfinite(row["OVRL"]) and np.isfinite(row["P808_MOS"])
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF_DNSMOS_DIR, "DNSMOS")),
+    reason="reference DNSMOS assets unavailable")
+def test_real_models_score_via_numpy_executor(tmp_path):
+    """End-to-end in-env DNSMOS: score_dir on the reference's vendored
+    ONNX models WITHOUT onnxruntime — the numpy executor fallback
+    (metrics/onnx_np.py) produces calibrated P.835 + P.808 numbers."""
+    t = np.arange(SAMPLING_RATE * 10) / SAMPLING_RATE
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)
+           * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    write_wav(str(tmp_path / "a.wav"), wav, SAMPLING_RATE)
+    from nvse_tpu.metrics.dnsmos import score_dir
+    rows = score_dir(str(tmp_path), REF_DNSMOS_DIR, workers=1)
+    assert len(rows) == 1
+    r = rows[0]
+    for k in ("SIG", "BAK", "OVRL", "P808_MOS"):
+        assert k in r and np.isfinite(r[k]) and 0.5 < r[k] < 5.0, (k, r)
