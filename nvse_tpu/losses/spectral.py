@@ -21,9 +21,20 @@ def anti_wrapping_function(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(x - jnp.round(x / TWO_PI) * TWO_PI)
 
 
-def amplitude_loss(log_amplitude_r: jnp.ndarray, log_amplitude_g: jnp.ndarray) -> jnp.ndarray:
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+    """Mean of x (B, F, T); with a (T,) 0/1 frame mask, only masked time
+    columns contribute (full-utterance validation on padded buckets)."""
+    if mask is None:
+        return jnp.mean(x)
+    m = mask.reshape((1,) * (x.ndim - 1) + (-1,))
+    denom = (x.size // x.shape[-1]) * jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(x * m) / denom
+
+
+def amplitude_loss(log_amplitude_r: jnp.ndarray, log_amplitude_g: jnp.ndarray,
+                   mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """MSE on log-amplitude spectra (Models/models.py:599-604)."""
-    return jnp.mean((log_amplitude_r - log_amplitude_g) ** 2)
+    return _masked_mean((log_amplitude_r - log_amplitude_g) ** 2, mask)
 
 
 def _gd(phase: jnp.ndarray) -> jnp.ndarray:
@@ -41,17 +52,24 @@ def _ptd(phase: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-phase[:, :, :1], phase[:, :, :-1] - phase[:, :, 1:]], axis=2)
 
 
-def phase_loss(phase_r: jnp.ndarray, phase_g: jnp.ndarray):
-    """(IP, GD, PTD) anti-wrapped phase losses (Models/models.py:116-141)."""
-    ip = jnp.mean(anti_wrapping_function(phase_r - phase_g))
-    gd = jnp.mean(anti_wrapping_function(_gd(phase_r) - _gd(phase_g)))
-    ptd = jnp.mean(anti_wrapping_function(_ptd(phase_r) - _ptd(phase_g)))
+def phase_loss(phase_r: jnp.ndarray, phase_g: jnp.ndarray,
+               mask: jnp.ndarray | None = None):
+    """(IP, GD, PTD) anti-wrapped phase losses (Models/models.py:116-141).
+
+    With a frame mask, time columns outside it are excluded; the PTD
+    time-difference at a masked column t uses φ[t-1]−φ[t], and both
+    operands are valid whenever column t is (masks are prefixes).
+    """
+    ip = _masked_mean(anti_wrapping_function(phase_r - phase_g), mask)
+    gd = _masked_mean(anti_wrapping_function(_gd(phase_r) - _gd(phase_g)), mask)
+    ptd = _masked_mean(anti_wrapping_function(_ptd(phase_r) - _ptd(phase_g)), mask)
     return ip, gd, ptd
 
 
-def stft_consistency_loss(rea_r, rea_g, imag_r, imag_g) -> jnp.ndarray:
+def stft_consistency_loss(rea_r, rea_g, imag_r, imag_g,
+                          mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Mean squared complex-STFT distance (Models/models.py:664-669)."""
-    return jnp.mean(jnp.mean((rea_r - rea_g) ** 2 + (imag_r - imag_g) ** 2, axis=(1, 2)))
+    return _masked_mean((rea_r - rea_g) ** 2 + (imag_r - imag_g) ** 2, mask)
 
 
 def mel_loss(

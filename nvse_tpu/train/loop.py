@@ -133,9 +133,17 @@ def train(h, log_fn=print) -> None:
                             seed=h.seed)
     steps_per_epoch = max(1, len(loader))
 
+    # validation semantics (reference train_tf_wi_inv.py:313-417):
+    # COMPLETE utterances at batch 1. Utterances are zero-padded up to a
+    # bucket multiple so jit sees a bounded set of static shapes, and
+    # eval_full masks every metric to the frames that depend only on
+    # real samples. validation_full=false restores the old fixed-crop
+    # validation (cheaper: one compiled shape).
+    val_full = bool(h.get("validation_full", True))
     val_len = h.segment_size * 4
     val_ds = SegmentDataset(validation_files, val_len, h.sampling_rate,
-                            split=True, shuffle=False, seed=h.seed)
+                            split=not val_full, shuffle=False, seed=h.seed)
+    val_bucket = int(h.get("validation_bucket_frames", 64)) * h.hop_size
 
     example_T = h.segment_size // h.hop_size + 1
     example = jnp.zeros((2, h.num_mels, example_T), jnp.float32)
@@ -180,12 +188,24 @@ def train(h, log_fn=print) -> None:
         cap = int(h.get("validation_cap", 0))
         n_val = len(val_ds) if cap <= 0 else min(len(val_ds), cap)
         for i in range(n_val):
-            # fixed per-item crop rng: every validation pass must score
-            # the SAME audio or the metric curves aren't comparable
-            # (the shared dataset rng advances state between passes)
-            audio = jnp.asarray(
-                val_ds.segment_at(i, _random.Random(0x5EED + i))[None, :])
-            y_g, metrics = fns.eval_step(gen_state, audio, None)
+            if val_full:
+                # complete utterance, zero-padded to a bucket multiple;
+                # metrics masked to the true length inside eval_full
+                wav = val_ds.segment_at(i, _random.Random(0))
+                n = len(wav)
+                tgt = max(val_bucket, ((n + val_bucket - 1) // val_bucket)
+                          * val_bucket)
+                audio = jnp.asarray(np.pad(wav, (0, tgt - n))[None, :])
+                y_g, metrics = fns.eval_full(
+                    gen_state, audio, jnp.asarray(n, jnp.int32))
+            else:
+                # fixed per-item crop rng: every validation pass must
+                # score the SAME audio or the metric curves aren't
+                # comparable (the shared dataset rng advances between
+                # passes)
+                audio = jnp.asarray(
+                    val_ds.segment_at(i, _random.Random(0x5EED + i))[None, :])
+                y_g, metrics = fns.eval_step(gen_state, audio, None)
             if keys is None:
                 keys = sorted(metrics)
             dev_rows.append(jnp.stack([jnp.asarray(metrics[k], jnp.float32)

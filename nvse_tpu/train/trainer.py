@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
+from ..losses.spectral import _masked_mean
 from ..losses import (
     amplitude_loss,
     feature_loss,
@@ -125,6 +126,7 @@ class TrainStepFns:
     train_step: Callable
     eval_step: Callable
     gen_apply: Callable
+    eval_full: Callable | None = None
 
 
 def _apply_or_skip(state, grads):
@@ -450,6 +452,49 @@ def make_train_step(h, generator, domain: str, mesh=None,
         metrics["Mel"] = jnp.mean(jnp.abs(meloss[..., :T] - y_g_mel[..., :T]))
         return y_g, metrics
 
+    def eval_full(gen_state, audio, n_samples):
+        """Full-utterance validation (train_tf_wi_inv.py:313-417 runs
+        ragged batch-1 utterances; here the utterance is zero-padded to
+        a static bucket length so shapes stay jit-stable, and every
+        metric is masked to the frames that depend ONLY on real
+        samples: t·hop + n_fft/2 <= n_samples. The excluded tail is
+        the reflect-pad boundary (~n_fft/2/hop frames), <1% of a
+        typical utterance)."""
+        mel, meloss, logamp, pha, rea, imag = features(audio, None)
+        outs = gen_forward(gen_state.params, mel, None)
+        metrics = {}
+        if tf_like:
+            logamp_g, pha_g, rea_g, imag_g, y_g = outs
+        else:
+            y_g = outs
+        y_min = min(int(y_g.shape[-1]), int(audio.shape[-1]))
+        y_gc = y_g[..., :y_min]
+        y_g_mel = mel_spectrogram(y_gc, *melargs, h.fmin, meloss_fmax)
+        Tm = min(int(meloss.shape[-1]), int(y_g_mel.shape[-1]))
+        nf = jnp.clip((n_samples - h.n_fft // 2) // h.hop_size + 1, 1, None)
+        mask_m = (jnp.arange(Tm) < nf).astype(jnp.float32)
+        metrics["Mel"] = _masked_mean(
+            jnp.abs(meloss[..., :Tm] - y_g_mel[..., :Tm]), mask_m)
+        if tf_like:
+            Tf = min(int(pha.shape[-1]), int(pha_g.shape[-1]))
+            mask = (jnp.arange(Tf) < nf).astype(jnp.float32)
+            metrics["A"] = amplitude_loss(
+                logamp[..., :Tf], logamp_g[..., :Tf], mask=mask)
+            ip, gd, ptd = phase_loss(pha[..., :Tf], pha_g[..., :Tf], mask=mask)
+            metrics.update(IP=ip, GD=gd, PTD=ptd)
+            metrics["R"] = _masked_mean(
+                jnp.abs(rea[..., :Tf] - rea_g[..., :Tf]), mask)
+            metrics["I"] = _masked_mean(
+                jnp.abs(imag[..., :Tf] - imag_g[..., :Tf]), mask)
+            _, _, rea_gf, imag_gf = amp_pha_spectrum(
+                y_gc, h.n_fft, h.hop_size, h.win_size)
+            Tc = min(Tf, int(rea_gf.shape[-1]))
+            metrics["C"] = stft_consistency_loss(
+                rea_g[..., :Tc], rea_gf[..., :Tc],
+                imag_g[..., :Tc], imag_gf[..., :Tc],
+                mask=mask[:Tc])
+        return y_g, metrics
+
     if mesh is not None:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
@@ -462,6 +507,7 @@ def make_train_step(h, generator, domain: str, mesh=None,
         )
         # validation runs batch-1 full utterances — replicate, don't shard
         eval_step = jax.jit(eval_step, in_shardings=(repl, repl, None))
+        eval_full = jax.jit(eval_full, in_shardings=(repl, None, None))
 
         # Enter the mesh context around invocation: models with internal
         # with_sharding_constraint hints (bare PartitionSpecs, e.g. the
@@ -475,11 +521,14 @@ def make_train_step(h, generator, domain: str, mesh=None,
 
         train_step = _in_mesh(train_step)
         eval_step = _in_mesh(eval_step)
+        eval_full = _in_mesh(eval_full)
     else:
         train_step = jax.jit(train_step, donate_argnums=(0, 1))
         eval_step = jax.jit(eval_step)
+        eval_full = jax.jit(eval_full)
 
-    return TrainStepFns(train_step=train_step, eval_step=eval_step, gen_apply=gen_forward)
+    return TrainStepFns(train_step=train_step, eval_step=eval_step,
+                        gen_apply=gen_forward, eval_full=eval_full)
 
 
 class GANTrainer:
