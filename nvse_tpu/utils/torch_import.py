@@ -290,6 +290,29 @@ def import_freev(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> An
     return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
 
 
+def import_vocos(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
+    """Name-mapped import for Vocos (models/vocos.py; no reference impl —
+    SURVEY.md §6 footnote — so torch names follow the same ConvNeXt
+    conventions as APNet2: embed, norm, convnext.{i}.dwconv/norm/
+    pwconv1/grn/pwconv2, final_layer_norm, head).
+
+    Flax call order: Conv1d_0 (embed), LayerNorm_0, ConvNeXtBlock_0..N,
+    LayerNorm_1, Linear_0 (ISTFT head).
+    """
+    import jax
+
+    out = jax.tree.map(lambda x: np.array(x), flax_params)
+    _put_plain_conv1d(out["Conv1d_0"], torch_params, "embed")
+    _put_ln(out["LayerNorm_0"], torch_params, "norm")
+    n = int(h.get("vocos_num_layers", 8))
+    for i in range(n):
+        _put_convnext_block(out[f"ConvNeXtBlock_{i}"], torch_params, f"convnext.{i}")
+    _put_ln(out["LayerNorm_1"], torch_params, "final_layer_norm")
+    out["Linear_0"]["kernel"] = convert_linear(torch_params["head.weight"])
+    out["Linear_0"]["bias"] = torch_params["head.bias"]
+    return jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), out)
+
+
 def import_gcrn(torch_params: dict[str, np.ndarray], flax_params: Any, h) -> Any:
     """Name-mapped import for GCRN (reference Models/gcrn.py:86-220).
 

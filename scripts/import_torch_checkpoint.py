@@ -31,7 +31,7 @@ def importer_for(model_name: str):
         "APNet": ti.import_apnet,
         "APNet2": ti.import_apnet2,
         "FreeV": ti.import_freev,
-        "Vocos": lambda sd, tpl, h: ti.import_by_order(sd, tpl),
+        "Vocos": ti.import_vocos,
         "BSRNN": ti.import_bsrnn,
         "BSRNN_24k": ti.import_bsrnn,
         "GCRN": ti.import_gcrn,

@@ -803,3 +803,169 @@ def test_hddemucas_import_output_parity():
         theirs = oracle(torch.from_numpy(inv_amp)).numpy()
     assert ours.shape == theirs.shape
     np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# torch oracle: reference iSTFTNet topology (Models/istftnet.py:271-328)
+# ---------------------------------------------------------------------------
+
+class OracleISTFTNet(nn.Module):
+    """MRF trunk + reflection pad + (n_fft+2)-ch post conv + exp/sin
+    heads + torch.istft (hann, hop 4) — the reference forward verbatim
+    re-derived (istftnet.py:271-318)."""
+
+    def __init__(self, h):
+        super().__init__()
+        from torch.nn.utils import weight_norm
+        from test_torch_import import TorchResBlock
+
+        self.num_kernels = len(h.resblock_kernel_sizes)
+        self.conv_pre = weight_norm(
+            nn.Conv1d(80, h.upsample_initial_channel, 7, 1, padding=3))
+        self.ups = nn.ModuleList()
+        for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+            self.ups.append(weight_norm(nn.ConvTranspose1d(
+                h.upsample_initial_channel // (2 ** i),
+                h.upsample_initial_channel // (2 ** (i + 1)),
+                k, u, padding=(k - u) // 2)))
+        self.resblocks = nn.ModuleList()
+        for i in range(len(self.ups)):
+            ch = h.upsample_initial_channel // (2 ** (i + 1))
+            for k, d in zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes):
+                self.resblocks.append(TorchResBlock(ch, k, d))
+        self.post_n_fft = h.gen_istft_n_fft
+        self.hop = h.gen_istft_hop_size
+        self.conv_post = weight_norm(
+            nn.Conv1d(ch, self.post_n_fft + 2, 7, 1, padding=3))
+        self.window = torch.hann_window(self.post_n_fft)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        x = self.conv_pre(x)
+        for i in range(len(self.ups)):
+            x = self.ups[i](F.leaky_relu(x, 0.1))
+            xs = None
+            for j in range(self.num_kernels):
+                r = self.resblocks[i * self.num_kernels + j](x)
+                xs = r if xs is None else xs + r
+            x = xs / self.num_kernels
+        x = F.leaky_relu(x)                       # default slope 0.01
+        x = F.pad(x, (1, 0), mode="reflect")      # ReflectionPad1d((1, 0))
+        x = self.conv_post(x)
+        spec = torch.exp(x[:, : self.post_n_fft // 2 + 1, :])
+        phase = torch.sin(x[:, self.post_n_fft // 2 + 1:, :])
+        wav = torch.istft(spec * torch.exp(phase * 1j), self.post_n_fft,
+                          self.hop, self.post_n_fft, window=self.window)
+        return wav
+
+
+def test_istftnet_import_output_parity():
+    from nvse_tpu.utils.torch_import import import_mrf_generator
+
+    h = AttrDict(dict(
+        model_name="iSTFTNet", resblock="1",
+        upsample_rates=[8, 2], upsample_kernel_sizes=[16, 4],
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=[3, 5], resblock_dilation_sizes=[[1, 3], [1, 3]],
+        gen_istft_n_fft=16, gen_istft_hop_size=4,
+        num_mels=80, sampling_rate=22050, n_fft=1024, hop_size=256,
+        win_size=1024, fmin=0, fmax=8000, segment_size=2048,
+    ))
+    torch.manual_seed(0)
+    tmodel = OracleISTFTNet(h).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    gen, _ = build_generator(h)
+    mel_np = np.random.default_rng(0).standard_normal((2, 80, 17)).astype(np.float32) - 4
+    mel = jnp.asarray(mel_np)
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    params = import_mrf_generator(sd, variables["params"], h)
+
+    ours = np.asarray(gen.apply({"params": params}, mel))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(mel_np)).numpy()
+    assert ours.shape == theirs.shape, (ours.shape, theirs.shape)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# torch oracle: Vocos (no reference impl — published architecture with
+# APNet2-style ConvNeXt/GRN blocks, matching models/vocos.py)
+# ---------------------------------------------------------------------------
+
+class _OracleVocosBlock(nn.Module):
+    def __init__(self, dim, mid):
+        super().__init__()
+        self.dwconv = nn.Conv1d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.pwconv1 = nn.Linear(dim, mid)
+        self.grn = _OracleGRN(mid)
+        self.pwconv2 = nn.Linear(mid, dim)
+
+    def forward(self, x):  # (B, C, T)
+        r = x
+        x = self.dwconv(x).transpose(1, 2)
+        x = self.norm(x)
+        x = torch.nn.functional.gelu(self.pwconv1(x))
+        x = self.pwconv2(self.grn(x))
+        return r + x.transpose(1, 2)
+
+
+class OracleVocos(nn.Module):
+    def __init__(self, h):
+        super().__init__()
+        dim = h.vocos_dim
+        self.embed = nn.Conv1d(h.num_mels, dim, 7, padding=3)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.convnext = nn.ModuleList(
+            [_OracleVocosBlock(dim, h.vocos_intermediate_dim)
+             for _ in range(h.vocos_num_layers)])
+        self.final_layer_norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, h.n_fft + 2)
+        self.h = h
+        self.window = torch.hann_window(h.win_size)
+
+    def forward(self, mel):  # (B, M, T)
+        h = self.h
+        x = self.embed(mel)
+        x = self.norm(x.transpose(1, 2)).transpose(1, 2)
+        for blk in self.convnext:
+            x = blk(x)
+        x = self.final_layer_norm(x.transpose(1, 2))
+        head = self.head(x).transpose(1, 2)                # (B, n_fft+2, T)
+        F_bins = h.n_fft // 2 + 1
+        logamp = head[:, :F_bins]
+        phase = head[:, F_bins:]
+        amp = torch.exp(torch.clamp(logamp, max=12.0))
+        rea = amp * torch.cos(phase)
+        imag = amp * torch.sin(phase)
+        wav = torch.istft(torch.complex(rea, imag), h.n_fft, h.hop_size,
+                          h.win_size, window=self.window)
+        return torch.log(torch.clamp(amp, min=1e-5)), phase, rea, imag, wav
+
+
+def test_vocos_import_output_parity():
+    from nvse_tpu.utils.torch_import import import_vocos
+
+    h = AttrDict(dict(
+        model_name="Vocos", num_mels=80, sampling_rate=22050, n_fft=1024,
+        hop_size=256, win_size=1024, fmin=0, fmax=8000, segment_size=2048,
+        vocos_dim=32, vocos_num_layers=2, vocos_intermediate_dim=96,
+    ))
+    torch.manual_seed(0)
+    tmodel = OracleVocos(h).eval()
+    for blk in tmodel.convnext:  # GRN params init to zero — randomise so
+        blk.grn.gamma.data.normal_(0.0, 0.5)  # the mapping is value-tested
+        blk.grn.beta.data.normal_(0.0, 0.5)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    gen, _ = build_generator(h)
+    mel_np = np.random.default_rng(1).standard_normal((2, 80, 13)).astype(np.float32) - 4
+    mel = jnp.asarray(mel_np)
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    params = import_vocos(sd, variables["params"], h)
+
+    ours = gen.apply({"params": params}, mel)
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(mel_np))
+    _assert_tf_outputs_match(ours, theirs)
