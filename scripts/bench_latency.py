@@ -66,6 +66,52 @@ def bench_window(engine, chunk: int, ctx: int, iters: int) -> dict:
     }
 
 
+def bench_seam(engine, wavs: list[str], chunk: int, ctx: int) -> dict:
+    """Chunked-vs-full decode quality: the seam/lookahead error.
+
+    For non-causal models every frame of a chunked decode misses the
+    context beyond its window; this quantifies the resulting output
+    deviation as LSD (dB) and PESQ between the FULL-utterance decode
+    (treated as reference) and the chunked decode of the same mel —
+    exactly the quality cost a serving deployment pays for O(chunk)
+    latency (engine contract: infer/engine.py synthesize_streaming).
+    """
+    from nvse_tpu.data.audio_io import load_wav
+    from nvse_tpu.metrics import lsd as lsd_fn
+    from nvse_tpu.metrics import pesq_wb
+
+    import jax.numpy as jnp
+
+    h = engine.h
+    lsds, pesqs, rels = [], [], []
+    for path in wavs:
+        wav = load_wav(path, h.sampling_rate)
+        mel = engine.mel_of(wav)
+        out_len = (mel.shape[-1] - 1) * h.hop_size
+        full = np.asarray(engine.synthesize_mel(jnp.asarray(mel),
+                                                out_len=out_len))[0]
+        stream = np.asarray(engine.synthesize_streaming(
+            jnp.asarray(mel), out_len=out_len, chunk_frames=64,
+            context_frames=ctx))[0]
+        lsds.append(float(lsd_fn(full, stream, h.sampling_rate)))
+        try:
+            pesqs.append(float(pesq_wb(full, stream, h.sampling_rate)))
+        except Exception:
+            pass
+        rels.append(float(np.abs(full - stream).mean()
+                          / (np.abs(full).mean() + 1e-9)))
+    row = {
+        "chunk_frames": chunk,
+        "context_frames": ctx,
+        "files": len(wavs),
+        "seam_lsd_db": round(float(np.mean(lsds)), 4),
+        "seam_rel_l1": round(float(np.mean(rels)), 5),
+    }
+    if pesqs:
+        row["seam_pesq"] = round(float(np.mean(pesqs)), 3)
+    return row
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--cfg_filename", default=os.path.join(
@@ -74,6 +120,12 @@ def main() -> None:
     p.add_argument("--chunks", default="8,16,32,64")
     p.add_argument("--context", type=int, default=8)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--seam", action="store_true",
+                   help="also measure chunked-vs-full decode quality "
+                        "(LSD/PESQ) for context in --seam_contexts")
+    p.add_argument("--seam_contexts", default="8,16,32")
+    p.add_argument("--seam_files", type=int, default=4,
+                   help="number of test-filelist utterances to decode")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "BENCH_LATENCY.json"))
     args = p.parse_args()
@@ -98,6 +150,19 @@ def main() -> None:
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         "results": rows,
     }
+    if args.seam:
+        from nvse_tpu.infer.engine import resolve_filelist
+        wavs = resolve_filelist(h)[: args.seam_files]
+        seam_rows = []
+        for ctx in [int(c) for c in args.seam_contexts.split(",")]:
+            row = bench_seam(engine, wavs, 64, ctx)
+            print(json.dumps(row))
+            seam_rows.append(row)
+        record["seam"] = {
+            "causal": bool(h.get("causal")),
+            "note": "full-utterance decode as reference vs chunked decode",
+            "results": seam_rows,
+        }
     json.dump(record, open(args.out, "w"), indent=2)
     print(f"wrote {args.out}")
 

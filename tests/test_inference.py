@@ -158,3 +158,36 @@ def test_engine_multichip_dp(wavs, tmp_path):
     out = sharded.synthesize_mel(mel, out_len=5000)
     assert out.shape == (5, 5000)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_streaming_seam_error_bounded_noncausal_bsrnn(tmp_path):
+    """Non-causal BSRNN (the flagship config is causal=false): the
+    chunked decode's lookahead/seam error vs the full decode must be
+    bounded and must not grow as context increases. This is the test
+    counterpart of `scripts/bench_latency.py --seam` (BENCH_LATENCY
+    records LSD/PESQ on the trained flagship)."""
+    h = AttrDict(dict(
+        model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0,
+        causal=False, sampling_rate=22050, n_fft=1024, hop_size=256,
+        win_size=1024, num_mels=80, fmin=0, fmax=8000, segment_size=2048,
+        test_output_dir=str(tmp_path / "out"), test_mel_load=0,
+    ))
+    engine = InferenceEngine(h, bucket_frames=32)
+    rng = np.random.default_rng(1)
+    T = 96
+    mel = jnp.asarray(rng.standard_normal((1, 80, T)).astype(np.float32) - 4.0)
+    out_len = (T - 1) * 256
+    full = np.asarray(engine.synthesize_mel(mel, out_len=out_len))
+
+    errs = {}
+    for ctx in (8, 24):
+        stream = engine.synthesize_streaming(mel, out_len=out_len,
+                                             chunk_frames=32,
+                                             context_frames=ctx)
+        a = full[0, 16 * 256: 80 * 256]
+        b = stream[0, 16 * 256: 80 * 256]
+        errs[ctx] = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    # bounded for the recommended context, and more context never hurts
+    # (bidirectional LSTM influence decays with distance)
+    assert errs[24] < 0.5, errs
+    assert errs[24] <= errs[8] * 1.5 + 1e-3, errs
