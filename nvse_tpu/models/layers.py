@@ -419,7 +419,10 @@ class Linear(nn.Module):
         default = torch_conv_init(self.in_features)
         w = self.param("kernel", self.kernel_init or default,
                        (self.in_features, self.out_features))
-        y = x @ w
+        # follow the params' dtype (conv-layer convention): keeps mixed-
+        # precision trunks in bf16 through the pointwise glue instead of
+        # silently promoting every residual chain back to f32
+        y = x.astype(w.dtype) @ w
         if self.use_bias:
             b = self.param("bias", self.bias_init or default, (self.out_features,))
             y = y + b
@@ -434,12 +437,16 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # stats always in f32 (bf16 mean/var wobbles at feature widths
+        # >= 128); output follows the params' dtype so mixed-precision
+        # trunks stay bf16 through the norm instead of promoting back
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return y * scale + bias
+        return y.astype(scale.dtype) * scale + bias
 
 
 class LSTM(nn.Module):
@@ -492,6 +499,12 @@ class LSTM(nn.Module):
         if self.return_params:
             assert not self.bidirectional
             return w_ih_f, w_hh_f, b_f
+        # follow the params' dtype (same convention as the conv layers):
+        # under mixed precision the upstream f32 DSP/residual glue would
+        # otherwise promote the whole recurrence back to f32 — the scan
+        # kernels take their compute dtype from x, and bf16 tiles halve
+        # the per-grid-step DMA that bounds them (PROFILE_LSTM_STEP)
+        x = x.astype(w_ih_f.dtype)
         if not self.bidirectional:
             xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)  # time-major
             return jnp.swapaxes(lstm_scan(xg_f, w_hh_f), 0, 1)

@@ -122,7 +122,10 @@ def _scan_vmem_bytes_unrolled(k: int, Bt: int, H: int, itemsize: int) -> int:
 def _choose_scan_unroll(Bt: int, H: int, itemsize: int) -> int:
     if H % 128:  # sub-lane-width H: k>1 blocks crash the TPU compiler
         return 1  # (observed: BSRNN-S H=64 remote-compile abort)
-    for k in (8, 4, 2):
+    # k=16/32 only reachable at itemsize 2 (bf16 tiles halve VMEM);
+    # measured monotone wins on the dispatch-bound H=128 shapes
+    # (PROFILE_LSTM_STEP.jsonl: per-grid-step floor ~10-14 us dominates)
+    for k in (32, 16, 8, 4, 2):
         if _scan_vmem_bytes_unrolled(k, Bt, H, itemsize) <= _FUSED_VMEM_BUDGET:
             return k
     return 1
@@ -553,7 +556,7 @@ def _fused_vmem_bytes_unrolled(k: int, Bt: int, C: int, H: int,
 def _choose_fused_unroll(Bt: int, C: int, H: int, itemsize: int) -> int:
     if H % 128 or C % 128:  # sub-lane-width blocks crash the TPU
         return 1            # compiler (observed: BSRNN-S H=64)
-    for k in (8, 4, 2):
+    for k in (32, 16, 8, 4, 2):
         if _fused_vmem_bytes_unrolled(k, Bt, C, H, itemsize) <= _FUSED_VMEM_BUDGET:
             return k
     return 1
