@@ -288,6 +288,22 @@ def pesq_wb(ref: np.ndarray, deg: np.ndarray, sr: int = FS) -> float:
     return float(0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224)))
 
 
+def pesq_disturbances(ref: np.ndarray, deg: np.ndarray, sr: int
+                      ) -> tuple[float, float]:
+    """The two P.862 disturbance aggregates (D, DA) BEFORE the
+    calibrated 4.5 − w_D·D − w_DA·DA combination — exposed so
+    scripts/pesq_crosscal.py can refit (D_WEIGHT, DA_WEIGHT) against
+    the ITU C extension when it is installed."""
+    ref = _resample(np.asarray(ref, np.float64), sr)
+    deg = _resample(np.asarray(deg, np.float64), sr)
+    ref = _highpass_100(_fix_level(ref))
+    deg = _highpass_100(_fix_level(deg))
+    deg = _align(ref, deg)
+    n = min(len(ref), len(deg))
+    D, DA = _perceptual(ref[:n], deg[:n])
+    return float(D), float(DA)
+
+
 def mnru(x: np.ndarray, q_db: float, rng=None) -> np.ndarray:
     """Modulated Noise Reference Unit (ITU-T P.810): multiplicative
     noise at signal-to-modulated-noise ratio Q. The standard calibration

@@ -33,6 +33,16 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 
+def _hdot(h, w):
+    """h @ w with h cast to the weights' dtype. The recurrent state is
+    kept f32 in VMEM scratch, but bf16 weights want a uniform-dtype MXU
+    dot: mixed f32 x bf16 operands both run slower and, at the BSRNN-L
+    band shape ((1024, 256) @ (256, 1024)), fail Mosaic compilation
+    outright (remote_compile HTTP 500, round 4). Accumulation stays
+    f32 via preferred_element_type."""
+    return jnp.dot(h.astype(w.dtype), w, preferred_element_type=jnp.float32)
+
+
 def _xla_lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
     """Reference implementation: lax.scan over time (T, B, 4H)->(T, B, H)."""
     H = w_hh.shape[0]
@@ -65,7 +75,7 @@ def _lstm_kernel(xp_ref, whh_ref, out_ref, h_scratch, c_scratch):
         c_scratch[...] = jnp.zeros_like(c_scratch)
 
     h = h_scratch[...]
-    gates = xp_ref[0] + jnp.dot(h, whh_ref[...], preferred_element_type=jnp.float32)
+    gates = xp_ref[0] + _hdot(h, whh_ref[...])
     H = h.shape[-1]
     i = jax.nn.sigmoid(gates[:, :H])
     f = jax.nn.sigmoid(gates[:, H : 2 * H])
@@ -97,8 +107,7 @@ def _lstm_kernel_unrolled(k: int):
         H = h.shape[-1]
         whh = whh_ref[...]
         for i in range(k):
-            gates = xp_ref[i] + jnp.dot(h, whh,
-                                        preferred_element_type=jnp.float32)
+            gates = xp_ref[i] + _hdot(h, whh)
             ig = jax.nn.sigmoid(gates[:, :H])
             fg = jax.nn.sigmoid(gates[:, H : 2 * H])
             gg = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -138,12 +147,26 @@ def _choose_scan_unroll(Bt: int, H: int, itemsize: int) -> int:
 _MAX_BATCH_TILE = 1024
 
 
+def _batch_tile(B: int, H: int, itemsize: int) -> int:
+    """Batch rows per tile. Prefer one tile (each extra tile re-runs the
+    whole sequential T loop), bounded by _MAX_BATCH_TILE — and, for bf16
+    blocks, by Bt*H <= 2**17: the Mosaic compiler rejects bf16 kernels
+    with (1024, 256) state/tile blocks (remote_compile HTTP 500; (512,
+    256) and (1024, 128) both compile — bisected round 4), so BSRNN-L
+    band shapes split into more tiles instead of failing outright."""
+    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    if itemsize == 2:
+        cap = max(8, ((1 << 17) // H) // 8 * 8)
+        Bt = min(Bt, cap)
+    return Bt
+
+
 def _pallas_lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
                       interpret: bool = False,
                       unroll: int | None = None) -> jnp.ndarray:
     T, B, G = x_proj.shape
     H = w_hh.shape[0]
-    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    Bt = _batch_tile(B, H, x_proj.dtype.itemsize)
     nb = -(-B // Bt)
     B_pad = nb * Bt
     k = (_choose_scan_unroll(Bt, H, x_proj.dtype.itemsize)
@@ -248,8 +271,7 @@ def _make_bidir_kernel(nrows_fwd: int, Bt: int):
         rows = b * Bt + jax.lax.broadcasted_iota(jnp.int32, (Bt, 1), 0)
         m = (rows < nrows_fwd).astype(h.dtype)
         hcat = jnp.concatenate([h * m, h * (1.0 - m)], axis=1)
-        gates = xp_ref[0] + jnp.dot(hcat, wstack_ref[...],
-                                    preferred_element_type=jnp.float32)
+        gates = xp_ref[0] + _hdot(hcat, wstack_ref[...])
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H : 2 * H])
         g = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -318,8 +340,7 @@ def _dualdot_kernel(xf_ref, xb_ref, wf_ref, wb_ref, of_ref, ob_ref,
     H = hf_s.shape[-1]
 
     def cell(x_ref, w_ref, h_s, c_s, o_ref):
-        gates = x_ref[0] + jnp.dot(h_s[...], w_ref[...],
-                                   preferred_element_type=jnp.float32)
+        gates = x_ref[0] + _hdot(h_s[...], w_ref[...])
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H : 2 * H])
         g = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -341,7 +362,7 @@ def _xla_lstm_scan_bidir2(xp_f, xp_b, w_f, w_b):
 def _pallas_lstm_scan_bidir2(xp_f, xp_b, w_f, w_b, interpret=False):
     T, B, G = xp_f.shape
     H = w_f.shape[0]
-    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    Bt = _batch_tile(B, H, xp_f.dtype.itemsize)
     nb = -(-B // Bt)
     B_pad = nb * Bt
     if B_pad != B:
@@ -449,8 +470,7 @@ def _fused_kernel():
         def cell(x_ref, wi_ref, b_ref, wh_ref, h_s, c_s, o_ref):
             gates = (jnp.dot(x_ref[0], wi_ref[...],
                              preferred_element_type=jnp.float32)
-                     + jnp.dot(h_s[...], wh_ref[...],
-                               preferred_element_type=jnp.float32)
+                     + _hdot(h_s[...], wh_ref[...])
                      + b_ref[0])
             i = jax.nn.sigmoid(gates[:, :H])
             f = jax.nn.sigmoid(gates[:, H : 2 * H])
@@ -518,7 +538,7 @@ def _fused_kernel_unrolled(k: int, t_real: int, tb: int):
         wif, whf, bf = wif_ref[...], whf_ref[...], bf_ref[0]
         for i in range(k):
             gates = (jnp.dot(xf_ref[i], wif, preferred_element_type=jnp.float32)
-                     + jnp.dot(h, whf, preferred_element_type=jnp.float32)
+                     + _hdot(h, whf)
                      + bf)
             h, c = gates_to_hc(gates, c)
             of_ref[i] = h.astype(of_ref.dtype)
@@ -532,7 +552,7 @@ def _fused_kernel_unrolled(k: int, t_real: int, tb: int):
         wib, whb, bb = wib_ref[...], whb_ref[...], bb_ref[0]
         for i in range(k - 1, -1, -1):
             gates = (jnp.dot(xb_ref[i], wib, preferred_element_type=jnp.float32)
-                     + jnp.dot(h, whb, preferred_element_type=jnp.float32)
+                     + _hdot(h, whb)
                      + bb)
             h2, c2 = gates_to_hc(gates, c)
             valid = blk * k + i < t_real
@@ -567,7 +587,7 @@ def _pallas_lstm_fused_unrolled(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b,
     B, T, C = x.shape
     H = w_hh_f.shape[0]
     xt = jnp.swapaxes(x, 0, 1)  # (T, B, C) time-major tiles
-    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    Bt = _batch_tile(B, H, x.dtype.itemsize)
     nb = -(-B // Bt)
     B_pad = nb * Bt
     Tb = -(-T // k)
@@ -657,7 +677,7 @@ def _pallas_lstm_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b,
     B, T, C = x.shape
     H = w_hh_f.shape[0]
     xt = jnp.swapaxes(x, 0, 1)  # (T, B, C) time-major tiles
-    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    Bt = _batch_tile(B, H, x.dtype.itemsize)
     nb = -(-B // Bt)
     B_pad = nb * Bt
     if B_pad != B:
@@ -706,7 +726,7 @@ def lstm_scan_fused(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b):
         return _xla_lstm_fused_ref(x, w_ih_f, w_ih_b, b_f, b_b, w_hh_f, w_hh_b)
     B, T, C = x.shape
     H = w_hh_f.shape[0]
-    Bt = min(_MAX_BATCH_TILE, (B + 7) // 8 * 8)
+    Bt = _batch_tile(B, H, x.dtype.itemsize)
     it = x.dtype.itemsize
     if _fused_vmem_bytes(Bt, C, H, it) <= _FUSED_VMEM_BUDGET:
         k = _choose_fused_unroll(Bt, C, H, it)
