@@ -76,6 +76,7 @@ def test_polymorphic_export_decodes_multiple_lengths(tmp_path):
         np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bsrnn_static_export_round_trip(tmp_path):
     h = _bsrnn_h()
     gen, params = _init_params(h)

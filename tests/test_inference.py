@@ -50,6 +50,7 @@ def test_engine_bucketing(wavs, tmp_path):
     assert len(engine._fns) <= 2
 
 
+@pytest.mark.slow
 def test_engine_log_spectrum_model(tmp_path):
     """BSRNN_24k consumes a full (F=n_fft//2+1)-bin log-spectrum, not a
     mel: the engine's init example and warmup shapes must follow

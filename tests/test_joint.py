@@ -93,6 +93,7 @@ def test_joint_dataset_mixing(joint_files):
 
 
 @pytest.mark.parametrize("task", ["denoise", "vocoder"])
+@pytest.mark.slow
 def test_joint_train_step(task):
     h = AttrDict(dict(
         model_name="BSRNN_24k", feature_dim=8, num_repeat=1, dropout=0.0,
@@ -115,6 +116,7 @@ def test_joint_train_step(task):
     assert float(metrics["G"]) > 0 and float(metrics["D"]) > 0
 
 
+@pytest.mark.slow
 def test_joint_train_loop_e2e(tmp_path, joint_files):
     """Tiny end-to-end joint training run with checkpointing + validation."""
     from nvse_tpu.train.loop_joint import train_joint

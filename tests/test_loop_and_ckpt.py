@@ -91,6 +91,7 @@ def _tiny_h(tmp_path, wav_dir, train_list, val_list):
     ))
 
 
+@pytest.mark.slow
 def test_train_loop_runs_and_checkpoints(wav_env):
     tmp_path, wav_dir, train_list, val_list = wav_env
     h = _tiny_h(tmp_path, wav_dir, train_list, val_list)
@@ -101,6 +102,7 @@ def test_train_loop_runs_and_checkpoints(wav_env):
     assert any("training finished" in l for l in logs)
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore_rotation(tmp_path):
     h = AttrDict(dict(
         model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0,

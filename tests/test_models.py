@@ -47,6 +47,7 @@ BSRNN_H = _h(
 )
 
 
+@pytest.mark.slow
 def test_hifigan_shapes_and_params():
     model, domain = build_generator(HIFIGAN_H)
     assert domain == "time"
@@ -71,6 +72,7 @@ def test_istftnet_shapes_and_params():
     assert abs(n - 13.3e6) / 13.3e6 < 0.02, n
 
 
+@pytest.mark.slow
 def test_bsrnn_shapes_and_params():
     model, domain = build_generator(BSRNN_H)
     assert domain == "tf"
@@ -91,6 +93,7 @@ def test_bsrnn_shapes_and_params():
     assert abs(n - 10.13e6) / 10.13e6 < 0.02, n
 
 
+@pytest.mark.slow
 def test_bsrnn_24k_contract():
     h = _h(model_name="BSRNN_24k", sampling_rate=24000, feature_dim=128,
            num_repeat=2, causal=False)

@@ -133,6 +133,7 @@ def test_hddemucas_causal_unilstm():
     assert "Linear_0" not in str(params["params"].get("BLSTM_0", {}))
 
 
+@pytest.mark.slow
 def test_hddemucas():
     h = _h(model_name="HDDemucas", chin=1, chout=1, hidden=48, depth=5,
            kernel_size=8, stride=4, causal=False, resample=4, growth=2,

@@ -8,6 +8,7 @@ import_mrf_generator, and checks the two models produce the same
 waveform. This validates every layout conversion end-to-end.
 """
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -332,6 +333,7 @@ def test_import_convtasnet_structural():
     assert np.isfinite(np.asarray(wav)).all()
 
 
+@pytest.mark.slow
 def test_import_gcrn_structural():
     from nvse_tpu.utils.torch_import import import_gcrn
 

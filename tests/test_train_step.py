@@ -41,6 +41,7 @@ def _tree_l2_diff(a, b):
 
 
 @pytest.mark.parametrize("case", ["time_small", "tf_small"])
+@pytest.mark.slow
 def test_one_train_step(case):
     if case == "time_small":
         h = _h(model_name="HiFiGAN", resblock="2",
@@ -122,6 +123,7 @@ def test_eval_step():
     assert np.isfinite(float(metrics["Mel"]))
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_step():
     """compute_dtype=bfloat16: step runs, losses finite and close to the
     f32 step's, params/optimizer state stay f32 master weights."""
@@ -147,6 +149,7 @@ def test_bf16_mixed_precision_step():
     assert rel < 0.05, (float(m_bf["G"]), float(m_f32["G"]))
 
 
+@pytest.mark.slow
 def test_cqtd_opt_in_step():
     """h.use_cqtd adds the CQT discriminator as a third disc: its params
     exist, receive gradient updates, and the step stays finite."""
@@ -166,6 +169,7 @@ def test_cqtd_opt_in_step():
     assert _tree_l2_diff(c0, tr.disc_state.params["cqtd"]) > 0
 
 
+@pytest.mark.slow
 def test_grad_clip_norm_opt_in():
     """h.grad_clip_norm > 0 chains global-norm clipping before adamw.
 
@@ -205,6 +209,7 @@ def test_grad_clip_state_is_checkpoint_compatible():
     assert jax.tree.structure(s0) == jax.tree.structure(s1)
 
 
+@pytest.mark.slow
 def test_skip_nonfinite_updates():
     """h.skip_nonfinite_updates: a batch that produces non-finite grads
     leaves BOTH states untouched (params, opt moments, step counter) and

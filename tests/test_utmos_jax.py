@@ -37,6 +37,7 @@ def test_forward_parity(model):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_masked_padding_invariance(model):
     """Padding to a length bucket + n_samples mask must reproduce the
     exact-length score (score_dir relies on this to compile per bucket,
