@@ -192,7 +192,10 @@ def main() -> None:
         w = (w / (np.abs(w).max() + 1e-9) * 0.7).astype(np.float32)
         name = os.path.join(noise_dir, f"NZ{j:02d}.wav")
         write_wav(name, w, noise_sr)
-        scp_lines.append(os.path.relpath(name, os.path.join(args.out, "..", "..")) + "\n")
+        # absolute paths: the scp is consumed verbatim (reference
+        # noise_filelist semantics); a repo-root-relative path silently
+        # breaks for corpora generated outside the repo (e.g. /tmp)
+        scp_lines.append(os.path.abspath(name) + "\n")
     with open(os.path.join(args.out, "noise_filelist.scp"), "w") as f:
         f.writelines(scp_lines)
     print(f"wrote {idx} wavs under {wav_dir} + 3 filelists + 8 noise wavs")
