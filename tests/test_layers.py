@@ -177,6 +177,7 @@ def test_weightnorm_g_initialised_to_norm():
     np.testing.assert_allclose(np.asarray(g).ravel(), norms, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fold_weight_norm_layer_parity():
     """fold_weight_norm: folded kernels through the same layers ==
     unfolded (v, g) outputs, for all four conv types incl. the

@@ -144,6 +144,7 @@ def test_loader_propagates_worker_errors(wav_env):
         next(iter(loader))
 
 
+@pytest.mark.slow
 def test_checkpoint_async_save_restore(tmp_path):
     """Async saves commit on wait and roundtrip identically to sync ones."""
     from nvse_tpu.train.checkpoint import wait_for_checkpoints

@@ -68,6 +68,7 @@ def test_apnet_family(name, expected, tol):
     assert abs(n - expected) / expected < tol, n
 
 
+@pytest.mark.slow
 def test_gcrn():
     h = _h(model_name="GCRN")
     model, domain = build_generator(h)
@@ -80,6 +81,7 @@ def test_gcrn():
     assert abs(n - 8.28e6) / 8.28e6 < 0.02, n
 
 
+@pytest.mark.slow
 def test_convtasnet():
     h = _h(model_name="ConvTasNet", N=512, L=16, B=128, H=512, P=3, X=8, R=3,
            norm="gln", num_spks=1, activate="relu", causal=False,

@@ -69,6 +69,7 @@ def test_kernel_pad_path_and_multibatch():
     np.testing.assert_allclose(s, s_ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_kernel_bf16():
     args = _make_inputs(jax.random.PRNGKey(3), B=1, T=256, H=512, Bc=128,
                         dtype=jnp.bfloat16)

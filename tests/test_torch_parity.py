@@ -103,6 +103,7 @@ class OracleBSRNN(nn.Module):
 
 
 @pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.slow
 def test_bsrnn_import_output_parity(causal):
     h = AttrDict(dict(
         model_name="BSRNN", feature_dim=8, num_repeat=2, dropout=0.0,

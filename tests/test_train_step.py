@@ -242,6 +242,7 @@ def test_skip_nonfinite_updates():
     assert int(tr.gen_state.step) == step0 + 1
 
 
+@pytest.mark.slow
 def test_eval_full_mask_invariance_and_crop_comparison():
     """Full-utterance validation (eval_full): the frame-pure masked
     metrics (A/IP/GD/PTD/R/I — computed directly on spectra frames)

@@ -23,6 +23,7 @@ def model():
     return m
 
 
+@pytest.mark.slow
 def test_forward_parity(model):
     rng = np.random.default_rng(0)
     wav = (0.1 * rng.standard_normal((2, 8000))).astype(np.float32)
@@ -58,6 +59,7 @@ def test_masked_padding_invariance(model):
                                    err_msg=f"pad={pad}")
 
 
+@pytest.mark.slow
 def test_jit_and_batch_consistency(model):
     import jax
     import jax.numpy as jnp
