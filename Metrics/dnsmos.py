@@ -39,12 +39,18 @@ def main() -> None:
                    help="write per-file results to this CSV")
     p.add_argument("--personalized_MOS", "-p", action="store_true",
                    help="use the personalized (pDNSMOS) calibration/model")
+    p.add_argument("--jb", type=int, default=1,
+                   help="process fan-out: score clips with this many "
+                        "worker processes (same contract as the other "
+                        "metric CLIs; the numpy ONNX executor is "
+                        "single-core, so --jb N is ~N x faster on "
+                        "fleet-size sweeps)")
     args = p.parse_args()
 
     from nvse_tpu.metrics.dnsmos import score_dir
 
     rows = score_dir(args.deg_dir, args.model_dir, csv_path=args.csv_path,
-                     is_personalized=args.personalized_MOS)
+                     is_personalized=args.personalized_MOS, jobs=args.jb)
     if not rows:
         raise SystemExit(f"no wav files under {args.deg_dir}")
 

@@ -175,16 +175,18 @@ class InferenceEngine:
             out_len = T * hop
         return out[..., :out_len]
 
-    def warmup(self, T: int, exact: bool = False) -> None:
+    def warmup(self, T: int, exact: bool = False, batch: int | None = None) -> None:
         """Compile + run the T-frame shape once, outside any timer.
 
         Idempotent per shape: every distinct bucket pays its XLA compile
         here, never inside the timed region (a length-diverse test set
         hits several buckets, not just the first file's). exact=True
         compiles T itself (streaming windows are not bucket-aligned).
+        batch warms that batch size (the batched decode path runs a
+        fixed batch per bucket so each bucket compiles exactly once).
         """
         Tb = T if exact else _bucket(T, self.bucket_frames)
-        B = self.mesh.devices.size if self.mesh is not None else 1
+        B = batch or (self.mesh.devices.size if self.mesh is not None else 1)
         if (Tb, B) in self._warmed:
             return
         mel = jnp.full((B, model_input_bins(self.h), Tb), float(np.log(1e-5)))
@@ -206,11 +208,19 @@ def resolve_filelist(h) -> list[str]:
 
 
 def run_inference(h, limit: int | None = None, log_fn=print,
-                  stream: bool = False) -> dict:
+                  stream: bool = False, batch: int | None = None) -> dict:
     """Decode the test set, write wavs, print + return RTF stats.
 
     stream=True (or h.stream) uses the chunked constant-memory decoder:
     a single compiled window shape for any utterance length.
+
+    batch (default h.infer_batch, else 8) groups files into
+    fixed-size batches per length bucket — one device dispatch per
+    GROUP instead of per file, replacing the reference's per-file
+    loop (infers/inference_bsrnn.py:82-102). Mels are computed with
+    the exact host-side numpy mel (ops.mel_spectrogram_np) so the
+    accelerator only runs the batched generator. batch=1 restores the
+    per-file path (and streaming always decodes per file).
     """
     engine = InferenceEngine(h)
     if model_input_bins(h) != h.num_mels and not h.get("test_mel_load"):
@@ -232,9 +242,53 @@ def run_inference(h, limit: int | None = None, log_fn=print,
     if limit:
         files = files[:limit]
     os.makedirs(h.test_output_dir, exist_ok=True)
+    if batch is None:
+        batch = int(h.get("infer_batch") or 8)
 
     total_audio_sec = 0.0
     total_wall = 0.0
+
+    if batch > 1 and not stream and not h.get("test_mel_load"):
+        from ..ops import mel_spectrogram_np
+
+        M = model_input_bins(h)
+        pad_val = float(np.log(1e-5))
+        items = []  # (path, mel (M,T) np, audio_len)
+        for path in files:
+            audio = load_wav(path, h.sampling_rate)
+            mel = mel_spectrogram_np(
+                audio[None, :], h.n_fft, h.num_mels, h.sampling_rate,
+                h.hop_size, h.win_size, h.fmin, h.fmax)[0]
+            items.append((path, mel, len(audio)))
+        groups: dict[int, list[int]] = {}
+        for i, (_p, mel, _a) in enumerate(items):
+            groups.setdefault(_bucket(mel.shape[-1], engine.bucket_frames),
+                              []).append(i)
+        for Tb in sorted(groups):
+            idxs = groups[Tb]
+            for s in range(0, len(idxs), batch):
+                grp = idxs[s : s + batch]
+                melb = np.full((batch, M, Tb), pad_val, np.float32)
+                for r, i in enumerate(grp):
+                    m = items[i][1]
+                    melb[r, :, : m.shape[-1]] = m
+                engine.warmup(Tb, batch=batch)
+                t0 = time.time()
+                wavs = np.asarray(
+                    engine.synthesize_mel(jnp.asarray(melb)))
+                total_wall += time.time() - t0
+                for r, i in enumerate(grp):
+                    path, _mel, alen = items[i]
+                    total_audio_sec += alen / h.sampling_rate
+                    out = os.path.join(h.test_output_dir,
+                                       os.path.basename(path))
+                    write_wav(out, wavs[r, :alen], h.sampling_rate)
+        rtf = total_audio_sec / max(total_wall, 1e-9)
+        log_fn(f"decoded {len(files)} files | wall {total_wall:.2f}s | "
+               f"audio {total_audio_sec:.2f}s | RTF {rtf:.2f}x realtime")
+        return {"files": len(files), "wall_sec": total_wall,
+                "audio_sec": total_audio_sec, "rtf": rtf}
+
     for path in files:
         if h.get("test_mel_load"):
             mel = jnp.asarray(np.load(path)[None, ...])

@@ -22,6 +22,7 @@ import concurrent.futures
 import csv
 import glob
 import os
+import sys
 
 import numpy as np
 
@@ -121,14 +122,15 @@ def _make_session(path: str):
         import onnxruntime as ort
         return ort.InferenceSession(path)
     except ImportError:
-        from .onnx_np import NumpyOnnxSession
-        return NumpyOnnxSession(path)
+        pass
+    except Exception as e:  # importable but broken (bad wheel / opset / EP)
+        print(f"onnxruntime failed to open {path} ({e!r}); "
+              "falling back to the numpy executor", file=sys.stderr)
+    from .onnx_np import NumpyOnnxSession
+    return NumpyOnnxSession(path)
 
 
-def score_dir(deg_dir: str, model_dir: str, csv_path: str | None = None,
-              is_personalized: bool = False, workers: int = 8) -> list[dict]:
-    """Score every wav under deg_dir; write per-file CSV if requested."""
-
+def _resolve_model_paths(model_dir: str, is_personalized: bool):
     sub = "pDNSMOS" if is_personalized else "DNSMOS"
     primary_path = os.path.join(model_dir, sub, "sig_bak_ovr.onnx")
     if not os.path.exists(primary_path):
@@ -143,21 +145,74 @@ def score_dir(deg_dir: str, model_dir: str, csv_path: str | None = None,
     p808_path = os.path.join(model_dir, "DNSMOS", "model_v8.onnx")
     if not os.path.exists(p808_path):
         p808_path = os.path.join(model_dir, "model_v8.onnx")
+    return primary_path, p808_path
 
+
+def _build_scorer(primary_path: str, p808_path: str) -> "ComputeScore":
     primary = _make_session(primary_path) if os.path.exists(primary_path) else None
     p808 = _make_session(p808_path) if os.path.exists(p808_path) else None
     if primary is None and p808 is None:
         raise FileNotFoundError(
-            f"no DNSMOS onnx models under {model_dir} "
+            "no DNSMOS onnx models found "
             "(need sig_bak_ovr.onnx and/or model_v8.onnx)")
-    scorer = ComputeScore(primary, p808)
+    return ComputeScore(primary, p808)
 
+
+# per-process scorer for the --jb fan-out: sessions are not picklable,
+# so each worker process parses the onnx files once in its initializer
+_PROC_SCORER: "ComputeScore | None" = None
+
+
+def _proc_init(primary_path: str, p808_path: str) -> None:
+    global _PROC_SCORER
+    _PROC_SCORER = _build_scorer(primary_path, p808_path)
+
+
+def _proc_score(args) -> dict:
+    clip, is_personalized = args
+    return _PROC_SCORER(clip, SAMPLING_RATE, is_personalized)
+
+
+def score_dir(deg_dir: str, model_dir: str, csv_path: str | None = None,
+              is_personalized: bool = False, workers: int = 8,
+              jobs: int = 1) -> list[dict]:
+    """Score every wav under deg_dir; write per-file CSV if requested.
+
+    jobs>1 fans clips out over that many PROCESSES (the numpy ONNX
+    executor is single-threaded Python + BLAS, so threads alone only
+    overlap the BLAS fraction; the reference uses a thread pool over
+    onnxruntime sessions which release the GIL,
+    Metrics/DNSMOS/dnsmos_local.py:129-131). jobs=1 keeps the in-process
+    thread pool (`workers`), which is the fast path under onnxruntime.
+    """
+    primary_path, p808_path = _resolve_model_paths(model_dir, is_personalized)
+    if not (os.path.exists(primary_path) or os.path.exists(p808_path)):
+        # fail in the parent with a clear message, not as a
+        # BrokenProcessPool from every worker's initializer
+        raise FileNotFoundError(
+            f"no DNSMOS onnx models under {model_dir} "
+            "(need sig_bak_ovr.onnx and/or model_v8.onnx; set "
+            "--model_dir or NVSE_DNSMOS_DIR)")
+    # worker processes may spawn with a different cwd
+    primary_path, p808_path = os.path.abspath(primary_path), os.path.abspath(p808_path)
     clips = sorted(glob.glob(os.path.join(deg_dir, "*.wav")))
     rows = []
-    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
-        futs = {ex.submit(scorer, c, SAMPLING_RATE, is_personalized): c for c in clips}
-        for fut in concurrent.futures.as_completed(futs):
-            rows.append(fut.result())
+    if jobs > 1 and len(clips) > 1:
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")  # fork would duplicate jax/tpu state
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=min(jobs, len(clips)), mp_context=ctx,
+                initializer=_proc_init,
+                initargs=(primary_path, p808_path)) as ex:
+            rows = list(ex.map(_proc_score,
+                               [(c, is_personalized) for c in clips]))
+    else:
+        scorer = _build_scorer(primary_path, p808_path)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = {ex.submit(scorer, c, SAMPLING_RATE, is_personalized): c
+                    for c in clips}
+            for fut in concurrent.futures.as_completed(futs):
+                rows.append(fut.result())
     rows.sort(key=lambda r: r["filename"])
 
     if csv_path and rows:

@@ -320,11 +320,18 @@ class NumpyOnnxSession:
             elif op == "Concat":
                 y = np.concatenate([x for x in ins], axis=int(a["axis"]))
             elif op == "Unsqueeze":
+                # opset<=12: axes attribute; opset>=13: axes as 2nd input
+                axes = a.get("axes")
+                if axes is None:
+                    axes = ins[1].astype(np.int64).ravel().tolist()
                 y = ins[0]
-                for ax in sorted(int(x) for x in a["axes"]):
+                for ax in sorted(int(x) for x in axes):
                     y = np.expand_dims(y, ax)
             elif op == "Squeeze":
-                y = np.squeeze(ins[0], tuple(int(x) for x in a.get("axes", [])) or None)
+                axes = a.get("axes")
+                if axes is None and len(ins) > 1:
+                    axes = ins[1].astype(np.int64).ravel().tolist()
+                y = np.squeeze(ins[0], tuple(int(x) for x in (axes or [])) or None)
             elif op == "Slice":
                 y = _slice_op(vals, nd.inputs)
             elif op == "ReduceMax":

@@ -101,14 +101,21 @@ def fold_weight_norm(params):
                 # broadcast 1s); for 1-channel convs g is all-ones and
                 # any size-1 axis gives the identical full-tensor norm
                 axis = next(
-                    i for i in range(v.ndim)
-                    if g.shape[i] == v.shape[i]
-                    and all(g.shape[j] == 1 for j in range(v.ndim) if j != i)
+                    (i for i in range(v.ndim)
+                     if g.shape[i] == v.shape[i]
+                     and all(g.shape[j] == 1 for j in range(v.ndim) if j != i)),
+                    None,
                 )
-                w = g * v / jnp.maximum(_norm_except_axis(v, axis), 1e-12)
-                rest = {k: fold(val) for k, val in node.items()
-                        if k not in ("v", "g")}
-                return {"kernel": w, **rest}
+                if axis is not None:
+                    w = g * v / jnp.maximum(_norm_except_axis(v, axis), 1e-12)
+                    rest = {k: fold(val) for k, val in node.items()
+                            if k not in ("v", "g")}
+                    return {"kernel": w, **rest}
+                # g doesn't match the one-broadcast-axis weight-norm
+                # pattern (e.g. an imported/hand-edited tree that merely
+                # happens to hold 'v' and 'g' arrays) — not a weight-norm
+                # pair; leave the node untouched rather than raising an
+                # opaque StopIteration.
         return {k: fold(val) for k, val in node.items()}
 
     if hasattr(params, "unfreeze"):  # FrozenDict

@@ -11,6 +11,7 @@ from .spectral import (
     istft_ri,
     mel_filterbank,
     mel_spectrogram,
+    mel_spectrogram_np,
     stft,
     stft_ri,
 )

@@ -406,6 +406,46 @@ def mel_spectrogram(
     return dynamic_range_compression(mel)
 
 
+def mel_spectrogram_np(
+    y: np.ndarray,
+    n_fft: int,
+    num_mels: int,
+    sampling_rate: int,
+    hop_size: int,
+    win_size: int,
+    fmin: float,
+    fmax: float,
+    center: bool = True,
+) -> np.ndarray:
+    """Host-side numpy twin of mel_spectrogram (same torch.stft
+    semantics, float64 accumulation -> float32).
+
+    Inference feature prep: per-file device mel calls each pay a full
+    remote-dispatch round trip and a compile per distinct utterance
+    length; the host mel is exact (matches the device HIGHEST-precision
+    path to ~1e-6 relative) and keeps the TPU free for the batched
+    generator decode (engine.run_inference).
+    """
+    y = np.asarray(y, np.float64)
+    if center:
+        pad = n_fft // 2
+        y = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+    win = _pad_window(_hann_np(win_size), n_fft).astype(np.float64)
+    frames = _frame_np(y, n_fft, hop_size) * win
+    mag = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1))    # (..., T, F)
+    mag = np.sqrt(np.maximum(mag * mag, 1e-24))            # _safe_magnitude
+    basis = _mel_filterbank_np(sampling_rate, n_fft, num_mels,
+                               float(fmin), float(fmax)).astype(np.float64)
+    mel = np.einsum("mf,...tf->...mt", basis, mag)
+    return np.log(np.clip(mel, 1e-5, None)).astype(np.float32)
+
+
+def _frame_np(y: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    n_frames = 1 + (y.shape[-1] - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    return y[..., idx]
+
+
 def inverse_mel(
     mel: jnp.ndarray,
     n_fft: int,

@@ -456,10 +456,22 @@ def make_train_step(h, generator, domain: str, mesh=None,
         """Full-utterance validation (train_tf_wi_inv.py:313-417 runs
         ragged batch-1 utterances; here the utterance is zero-padded to
         a static bucket length so shapes stay jit-stable, and every
-        metric is masked to the frames that depend ONLY on real
-        samples: t·hop + n_fft/2 <= n_samples. The excluded tail is
-        the reflect-pad boundary (~n_fft/2/hop frames), <1% of a
-        typical utterance)."""
+        metric is masked to the frames whose REFERENCE features depend
+        only on real samples: t·hop + n_fft/2 <= n_samples. The
+        excluded tail is the reflect-pad boundary (~n_fft/2/hop
+        frames), <1% of a typical utterance.
+
+        Padding invariance caveat: for CAUSAL generators the masked
+        frame-pure metrics (A/IP/GD/PTD/R/I) are exactly independent of
+        the bucket size (tested). For NON-CAUSAL generators (e.g. the
+        flagship BSRNN config, bidirectional time LSTM) every generated
+        frame sees the zero-padded bucket tail, so the metrics carry a
+        small bucket-dependent bias relative to the reference's
+        unpadded batch-1 validation. Bucketing is deterministic by
+        utterance length, so each utterance always lands in the same
+        bucket and validation curves remain exactly comparable across
+        passes; the bias is bounded in
+        tests/test_train_step.py::test_eval_full_noncausal_padding_sensitivity."""
         mel, meloss, logamp, pha, rea, imag = features(audio, None)
         outs = gen_forward(gen_state.params, mel, None)
         metrics = {}

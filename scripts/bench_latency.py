@@ -91,7 +91,7 @@ def bench_seam(engine, wavs: list[str], chunk: int, ctx: int) -> dict:
         full = np.asarray(engine.synthesize_mel(jnp.asarray(mel),
                                                 out_len=out_len))[0]
         stream = np.asarray(engine.synthesize_streaming(
-            jnp.asarray(mel), out_len=out_len, chunk_frames=64,
+            jnp.asarray(mel), out_len=out_len, chunk_frames=chunk,
             context_frames=ctx))[0]
         lsds.append(float(lsd_fn(full, stream, h.sampling_rate)))
         try:

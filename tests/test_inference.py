@@ -88,6 +88,26 @@ def test_run_inference_writes_wavs_and_rtf(wavs, tmp_path):
     assert len(y) == 5000
 
 
+def test_run_inference_batched_matches_perfile(wavs, tmp_path):
+    """The batched decode path (fixed batch per length bucket, host
+    numpy mel) must produce the same audio as the per-file path; its
+    RTF accounting covers only real rows."""
+    h = _h(tmp_path, wavs)
+    h["test_output_dir"] = str(tmp_path / "out_batched")
+    stats_b = run_inference(h, log_fn=lambda s: None)  # default batch=8
+    h2 = _h(tmp_path, wavs)
+    h2["test_output_dir"] = str(tmp_path / "out_perfile")
+    stats_1 = run_inference(h2, batch=1, log_fn=lambda s: None)
+    assert stats_b["files"] == stats_1["files"] == 2
+    assert abs(stats_b["audio_sec"] - stats_1["audio_sec"]) < 1e-6
+    for n in ("u0.wav", "u1.wav"):
+        a = load_wav(os.path.join(h["test_output_dir"], n), 22050)
+        b = load_wav(os.path.join(h2["test_output_dir"], n), 22050)
+        assert len(a) == len(b)
+        denom = float(np.abs(b).max()) + 1e-9
+        assert float(np.abs(a - b).max()) / denom < 5e-3
+
+
 def test_engine_bf16_mode(wavs, tmp_path):
     h = _h(tmp_path, wavs)
     h.compute_dtype = "bfloat16"

@@ -279,3 +279,33 @@ def test_eval_full_mask_invariance_and_crop_comparison():
     for k in m1:
         assert np.isfinite(float(mc[k])) and np.isfinite(float(m1[k])), k
         assert float(m1[k]) <= 10 * float(mc[k]) + 1.0, (k, m1[k], mc[k])
+
+
+@pytest.mark.slow
+def test_eval_full_noncausal_padding_sensitivity():
+    """Non-causal eval_full is bucket-padding-BIASED, not invariant: the
+    bidirectional time LSTM lets every generated frame see the
+    zero-padded bucket tail (documented in trainer.eval_full). This
+    bounds the bias: doubling the padding must change each masked
+    metric by < 25% relative (deterministic-per-bucket, so curves stay
+    comparable), while the metrics stay finite and positive."""
+    h = _h(model_name="BSRNN", feature_dim=16, num_repeat=1, dropout=0.0,
+           causal=False, batch_size=1)
+    gen, domain = build_generator(h)
+    example = jnp.zeros((1, 80, 9))
+    from nvse_tpu.train.trainer import create_states, make_train_step
+    gen_state, _disc = create_states(h, gen, domain, jax.random.PRNGKey(0),
+                                     10, example)
+    fns = make_train_step(h, gen, domain)
+
+    n = 4096
+    wav = _audio(1, n)[0]
+    a1 = jnp.asarray(wav[None, :])                       # exact bucket
+    a2 = jnp.asarray(np.pad(wav, (0, 4096))[None, :])    # one extra bucket
+    _, m1 = fns.eval_full(gen_state, a1, jnp.asarray(n, jnp.int32))
+    _, m2 = fns.eval_full(gen_state, a2, jnp.asarray(n, jnp.int32))
+    for k in m1:
+        v1, v2 = float(m1[k]), float(m2[k])
+        assert np.isfinite(v1) and np.isfinite(v2), k
+        rel = abs(v1 - v2) / max(abs(v1), 1e-6)
+        assert rel < 0.25, (k, v1, v2, rel)
