@@ -175,6 +175,98 @@ class InferenceEngine:
             out_len = T * hop
         return out[..., :out_len]
 
+    # ---- state-carrying streaming (recurrent models) -------------------
+
+    def _stream_state_zeros(self, B: int):
+        """Zero recurrent state for BSRNN-family models: num_repeat
+        layers of forward-direction time-LSTM (h, c), each
+        (B, nband, feature_dim) — identical to the zero init the
+        offline decode starts from, so chunk 1 is exact by
+        construction."""
+        from ..models.bsrnn import band_plan
+
+        h = self.h
+        nband = len(band_plan(h.sampling_rate, h.n_fft))
+        z = jnp.zeros((B, nband, int(h.feature_dim)), jnp.float32)
+        return tuple((z, z) for _ in range(int(h.num_repeat)))
+
+    def _stream_step(self, c: int, la: int):
+        key = ("stateful", c, la)
+        if key not in self._fns:
+            gen = self.generator
+            h = self.h
+            dtype = jnp.bfloat16 if str(h.get("compute_dtype")) == "bfloat16" else None
+            from ..ops import hann_window, istft_frames
+
+            win = hann_window(h.win_size)
+            n_fft, win_size = h.n_fft, h.win_size
+
+            def run(params, states, mel_win):
+                if dtype is not None:
+                    params = jax.tree.map(lambda x: x.astype(dtype), params)
+                    mel_win = mel_win.astype(dtype)
+                    states = jax.tree.map(lambda x: x.astype(dtype), states)
+                outs, new_states = gen.apply(
+                    {"params": params}, mel_win, stream_state=states,
+                    return_state=True, carry_idx=c)
+                rea, imag = outs[2], outs[3]
+                fr = istft_frames(rea[..., :c].astype(jnp.float32),
+                                  imag[..., :c].astype(jnp.float32),
+                                  n_fft, win_size, window=win)
+                return fr, jax.tree.map(
+                    lambda x: x.astype(jnp.float32), new_states)
+
+            self._fns[key] = jax.jit(run)
+        return self._fns[key]
+
+    def synthesize_streaming_stateful(self, mel: jnp.ndarray,
+                                      out_len: int | None = None,
+                                      chunk_frames: int = 64,
+                                      lookahead_frames: int = 16
+                                      ) -> np.ndarray:
+        """Chunked decode that CARRIES the recurrent state across chunks
+        (BSRNN-family models, supports_stream_state).
+
+        Against the context-recompute decoder (synthesize_streaming):
+          * causal configs: exact — the forward LSTM state at each chunk
+            boundary is the true state, no left context is recomputed,
+            and the carried-tail overlap-add (ops.StreamingOLA)
+            reproduces the offline iSTFT sample-for-sample. Zero seam.
+          * non-causal (bidirectional) configs: the forward direction is
+            exact; only the backward direction sees a bounded
+            `lookahead_frames` future window, so the per-chunk window is
+            c + la frames instead of c + 2*ctx and the seam error drops.
+        Batch rows are independent streams — B > 1 serves that many
+        concurrent streams per dispatch.
+        """
+        if not getattr(type(self.generator), "supports_stream_state", False):
+            raise ValueError(
+                f"{self.h.model_name} has no stream_state support; use "
+                "synthesize_streaming (context recompute)")
+        from ..ops import StreamingOLA, hann_window
+
+        h = self.h
+        B, _, T = mel.shape
+        c, la = chunk_frames, lookahead_frames
+        hop = h.hop_size
+        n_chunks = (T + c - 1) // c
+        melp = jnp.pad(mel, ((0, 0), (0, 0), (0, n_chunks * c - T + la)),
+                       constant_values=float(np.log(1e-5)))
+        step = self._stream_step(c, la)
+        states = self._stream_state_zeros(B)
+        ola = StreamingOLA(h.n_fft, hop, h.win_size,
+                           window=np.asarray(hann_window(h.win_size)))
+        pieces = []
+        for i in range(n_chunks):
+            win = jax.lax.dynamic_slice_in_dim(melp, i * c, c + la, axis=2)
+            fr, states = step(self.params, states, win)
+            pieces.append(ola.push(np.asarray(fr)))
+        pieces.append(ola.flush())
+        y = np.concatenate(pieces, axis=-1)[:, h.n_fft // 2 :]
+        if out_len is None:
+            out_len = T * hop
+        return y[:, :out_len]
+
     def warmup(self, T: int, exact: bool = False, batch: int | None = None) -> None:
         """Compile + run the T-frame shape once, outside any timer.
 
@@ -297,12 +389,18 @@ def run_inference(h, limit: int | None = None, log_fn=print,
             audio = load_wav(path, h.sampling_rate)
             mel = engine.mel_of(audio)
             audio_len = len(audio)
-        if stream:
+        stateful = stream and str(h.get("stream_mode", "")) == "stateful" \
+            and getattr(type(engine.generator), "supports_stream_state", False)
+        if stream and not stateful:
             engine.warmup(chunk + 2 * ctx, exact=True)
-        else:
+        elif not stream:
             engine.warmup(mel.shape[-1])
         t0 = time.time()
-        if stream:
+        if stateful:
+            wav = engine.synthesize_streaming_stateful(
+                mel, out_len=audio_len, chunk_frames=chunk,
+                lookahead_frames=ctx)
+        elif stream:
             wav = engine.synthesize_streaming(mel, out_len=audio_len,
                                               chunk_frames=chunk,
                                               context_frames=ctx)

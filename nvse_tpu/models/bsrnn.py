@@ -162,14 +162,27 @@ class ResRNN(nn.Module):
     causal: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: (B, G, S, C) — LSTM runs over axis S for every (B, G)
+    def __call__(self, x: jnp.ndarray, state=None, return_state: bool = False,
+                 carry_idx: int | None = None):
+        # x: (B, G, S, C) — LSTM runs over axis S for every (B, G).
+        # Streaming (state/return_state): state is the forward-direction
+        # LSTM (h, c), each (B, G, H), carried across chunks.
         B, G, S, C = x.shape
         y = LayerNorm(C)(x)
         y = y.reshape(B * G, S, C)
-        y = LSTM(C, self.hidden_size, bidirectional=not self.causal)(y)
+        lstm = LSTM(C, self.hidden_size, bidirectional=not self.causal)
+        streaming = state is not None or return_state
+        if streaming:
+            st = None if state is None else tuple(
+                s.reshape(B * G, -1) for s in state)
+            y, new_st = lstm(y, initial_state=st, return_state=True,
+                             carry_idx=carry_idx)
+            new_state = tuple(s.reshape(B, G, -1) for s in new_st)
+        else:
+            y = lstm(y)
         y = Linear(y.shape[-1], self.input_size)(y)
-        return x + y.reshape(B, G, S, C)
+        out = x + y.reshape(B, G, S, C)
+        return (out, new_state) if streaming else out
 
 
 class BSNet(nn.Module):
@@ -180,15 +193,25 @@ class BSNet(nn.Module):
     sp_axis: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: (B, nband, T, C)
+    def __call__(self, x: jnp.ndarray, state=None, return_state: bool = False,
+                 carry_idx: int | None = None):
+        # x: (B, nband, T, C). Streaming state belongs to the TIME
+        # direction only; the band BiLSTM runs across bands within each
+        # frame and needs no carry.
         x = _sp_constrain(x, self.sp_axis, 1)     # bands local to each shard
-        x = ResRNN(self.feature_dim, self.feature_dim, causal=self.causal)(x)
+        streaming = state is not None or return_state
+        time_rnn = ResRNN(self.feature_dim, self.feature_dim, causal=self.causal)
+        if streaming:
+            x, new_state = time_rnn(x, state=state, return_state=True,
+                                    carry_idx=carry_idx)
+        else:
+            x = time_rnn(x)
         x = jnp.swapaxes(x, 1, 2)                 # (B, T, nband, C)
         x = _sp_constrain(x, self.sp_axis, 1)     # frames local (all-to-all)
         x = ResRNN(self.feature_dim, self.feature_dim, causal=False)(x)
         x = jnp.swapaxes(x, 1, 2)
-        return LayerNorm(self.feature_dim)(x)
+        out = LayerNorm(self.feature_dim)(x)
+        return (out, new_state) if streaming else out
 
 
 class BSRNNCore(nn.Module):
@@ -209,12 +232,28 @@ class BSRNNCore(nn.Module):
     sp_axis: str | None = None
 
     @nn.compact
-    def __call__(self, log_spec: jnp.ndarray):
+    def __call__(self, log_spec: jnp.ndarray, stream_state=None,
+                 return_state: bool = False, carry_idx: int | None = None):
+        """Streaming decode (stream_state/return_state): stream_state is
+        a tuple of num_repeat per-BSNet time-LSTM states, each a
+        ((B, nband, C), (B, nband, C)) pair; carry_idx is the chunk
+        length in frames at which the next chunk's state is snapshotted
+        (lookahead frames beyond it refine this window's output but are
+        not consumed into the carry). Returns (outputs, new_states)."""
         widths = tuple(band_plan(self.sampling_rate, self.n_fft))
         feats = _GroupedBandEncoder(widths, self.feature_dim)(log_spec)
-        for _ in range(self.num_repeat):
-            feats = BSNet(self.feature_dim, causal=self.causal,
-                          sp_axis=self.sp_axis)(feats)
+        streaming = stream_state is not None or return_state
+        new_states = []
+        for r in range(self.num_repeat):
+            blk = BSNet(self.feature_dim, causal=self.causal,
+                        sp_axis=self.sp_axis)
+            if streaming:
+                st = None if stream_state is None else stream_state[r]
+                feats, ns = blk(feats, state=st, return_state=True,
+                                carry_idx=carry_idx)
+                new_states.append(ns)
+            else:
+                feats = blk(feats)
 
         # decoders are per-band einsums — band-sharded is fully local
         feats = _sp_constrain(feats, self.sp_axis, 1)
@@ -243,7 +282,8 @@ class BSRNNCore(nn.Module):
         imag = mag * jnp.sin(phase)
         wav = istft_ri(rea, imag, self.n_fft, self.hop_size, self.win_size,
                        window=hann_window(self.win_size))
-        return logamp, phase, rea, imag, wav
+        outs = (logamp, phase, rea, imag, wav)
+        return (outs, tuple(new_states)) if streaming else outs
 
 
 class BSRNN(nn.Module):
@@ -270,8 +310,13 @@ class BSRNN(nn.Module):
             sp_axis=h.get("sp_axis"),
         )
 
+    # the engine's state-carrying chunked decoder recognises this flag
+    supports_stream_state = True
+
     @nn.compact
-    def __call__(self, mel: jnp.ndarray, inv_mel_amp: jnp.ndarray | None = None):
+    def __call__(self, mel: jnp.ndarray, inv_mel_amp: jnp.ndarray | None = None,
+                 stream_state=None, return_state: bool = False,
+                 carry_idx: int | None = None):
         if inv_mel_amp is None:
             inv_amp = inverse_mel(
                 mel, self.n_fft, self.num_mels, self.sampling_rate,
@@ -284,7 +329,8 @@ class BSRNN(nn.Module):
         return BSRNNCore(
             self.sampling_rate, self.n_fft, self.hop_size, self.win_size,
             self.feature_dim, self.num_repeat, self.causal, self.sp_axis,
-        )(log_spec)
+        )(log_spec, stream_state=stream_state, return_state=return_state,
+          carry_idx=carry_idx)
 
 
 class BSRNN_24k(nn.Module):
@@ -312,9 +358,13 @@ class BSRNN_24k(nn.Module):
             num_repeat=h.num_repeat, causal=h.causal, sp_axis=h.get("sp_axis"),
         )
 
+    supports_stream_state = True
+
     @nn.compact
-    def __call__(self, log_spec: jnp.ndarray):
+    def __call__(self, log_spec: jnp.ndarray, stream_state=None,
+                 return_state: bool = False, carry_idx: int | None = None):
         return BSRNNCore(
             self.sampling_rate, self.n_fft, self.hop_size, self.win_size,
             self.feature_dim, self.num_repeat, self.causal, self.sp_axis,
-        )(log_spec)
+        )(log_spec, stream_state=stream_state, return_state=return_state,
+          carry_idx=carry_idx)

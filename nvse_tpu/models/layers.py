@@ -478,7 +478,20 @@ class LSTM(nn.Module):
     return_params: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, initial_state=None,
+                 return_state: bool = False, carry_idx: int | None = None):
+        """Standard call: x (B, S, C) -> (B, S, H*dirs).
+
+        Streaming decode (initial_state / return_state): the FORWARD
+        direction starts from `initial_state` (h, c), each (B, H), and
+        the returned state is its (h, c) snapshot after `carry_idx`
+        steps (default S) — the exact recurrent state a subsequent
+        chunk should resume from. The backward direction of a biLSTM
+        always starts from zeros over the given window (its exact state
+        would need the whole future); callers bound that error with a
+        right-lookahead (engine.synthesize_streaming_stateful). Returns
+        (y, state) when return_state.
+        """
         H = self.hidden_size
         bound = 1.0 / math.sqrt(H)
 
@@ -512,6 +525,30 @@ class LSTM(nn.Module):
         # kernels take their compute dtype from x, and bf16 tiles halve
         # the per-grid-step DMA that bounds them (PROFILE_LSTM_STEP)
         x = x.astype(w_ih_f.dtype)
+
+        if initial_state is not None or return_state:
+            from ..ops.pallas_lstm import lstm_scan_stateful
+
+            B, S, _ = x.shape
+            if initial_state is None:
+                h0 = jnp.zeros((B, H), x.dtype)
+                c0 = h0
+            else:
+                h0 = initial_state[0].astype(x.dtype)
+                c0 = initial_state[1].astype(x.dtype)
+            xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)      # (S, B, 4H)
+            hs_f, cs_f = lstm_scan_stateful(xg_f, w_hh_f, h0, c0)
+            ci = S if carry_idx is None else int(carry_idx)
+            state = (hs_f[ci - 1], cs_f[ci - 1])
+            y = jnp.swapaxes(hs_f, 0, 1)
+            if self.bidirectional:
+                w_ih_b, w_hh_b, b_b = direction_params("bwd")
+                xg_b = jnp.swapaxes(x @ w_ih_b + b_b, 0, 1)[::-1]
+                hs_b, _ = lstm_scan_stateful(
+                    xg_b, w_hh_b, jnp.zeros_like(h0), jnp.zeros_like(c0))
+                y = jnp.concatenate([y, jnp.swapaxes(hs_b[::-1], 0, 1)], -1)
+            return (y, state) if return_state else y
+
         if not self.bidirectional:
             xg_f = jnp.swapaxes(x @ w_ih_f + b_f, 0, 1)  # time-major
             return jnp.swapaxes(lstm_scan(xg_f, w_hh_f), 0, 1)

@@ -7,7 +7,9 @@ from .spectral import (
     hann_window,
     inverse_mel,
     inverse_mel_basis,
+    StreamingOLA,
     istft,
+    istft_frames,
     istft_ri,
     mel_filterbank,
     mel_spectrogram,

@@ -63,6 +63,32 @@ def _xla_lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
     return hs
 
 
+def lstm_scan_stateful(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                       h0: jnp.ndarray, c0: jnp.ndarray):
+    """(T, B, 4H), (H, 4H), (B, H), (B, H) -> (hs, cs), each (T, B, H).
+
+    Streaming-decode variant: the recurrence starts from a CALLER
+    state instead of zeros and the full (h, c) trajectories are
+    returned so the caller can snapshot the carry at any chunk
+    boundary (engine.synthesize_streaming_stateful). Same gate math as
+    _xla_lstm_scan (torch i,f,g,o order). Inference-path only — plain
+    lax.scan, no Pallas: per-chunk windows are short and the state
+    plumbing would complicate the zero-init grid kernels.
+    """
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), (h, c)
+
+    _, (hs, cs) = jax.lax.scan(step, (h0, c0), x_proj)
+    return hs, cs
+
+
 def _lstm_kernel(xp_ref, whh_ref, out_ref, h_scratch, c_scratch):
     # grid = (batch_tiles, T): batch tile is the OUTER axis, so for a
     # fixed tile the inner axis scans all T steps with h/c resident in

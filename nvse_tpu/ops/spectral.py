@@ -345,6 +345,90 @@ def istft_ri(
     return y[..., :target]
 
 
+def istft_frames(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    n_fft: int,
+    win_size: int,
+    window: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Windowed synthesis frames (..., T, n_fft): the pre-OLA stage of
+    istft_ri, for streaming decode — the engine overlap-adds chunks of
+    these with carried tails (StreamingOLA), which reproduces the
+    offline istft exactly because a sample is only emitted once every
+    window that touches it has arrived."""
+    if window is None:
+        win_np = _pad_window(np.ones(win_size, dtype=np.float32), n_fft)
+    else:
+        win_np = _pad_window(np.asarray(window), n_fft)
+    xr = jnp.swapaxes(re, -1, -2)                # (..., T, F)
+    xi = jnp.swapaxes(im, -1, -2)
+    if _use_matmul_dft():
+        basis = jnp.asarray(_irdft_basis_np(n_fft))
+        ri = jnp.concatenate([xr, xi], axis=-1)
+        frames = jnp.einsum("...tk,kn->...tn", ri, basis,
+                            precision=jax.lax.Precision.HIGHEST)
+    else:
+        frames = jnp.fft.irfft(jax.lax.complex(xr, xi), n=n_fft, axis=-1)
+    return frames * jnp.asarray(win_np)
+
+
+class StreamingOLA:
+    """Exact streaming overlap-add + squared-window normalisation.
+
+    push() consumes windowed synthesis frames (B, c, n_fft) chunk by
+    chunk and emits only the c*hop samples whose every contributing
+    frame has arrived; the trailing (n_fft - hop) samples stay in a
+    carried numerator/envelope tail. flush() finalises that tail. The
+    concatenation of all emissions equals the offline istft_ri output
+    BEFORE its center crop (the caller drops the first n_fft//2
+    samples and trims to the target length).
+    """
+
+    def __init__(self, n_fft: int, hop_size: int, win_size: int,
+                 window: np.ndarray | None = None):
+        self.n_fft, self.hop = n_fft, hop_size
+        if window is None:
+            win = _pad_window(np.ones(win_size, dtype=np.float32), n_fft)
+        else:
+            win = _pad_window(np.asarray(window, np.float32), n_fft)
+        self.env_frame = (win * win).astype(np.float64)
+        self.num_tail: np.ndarray | None = None   # (B, n_fft - hop)
+        self.env_tail: np.ndarray | None = None
+
+    @staticmethod
+    def _ola(frames: np.ndarray, hop: int) -> np.ndarray:
+        B, T, n_fft = frames.shape
+        L = n_fft + hop * (T - 1)
+        out = np.zeros((B, L), frames.dtype)
+        for t in range(T):
+            out[:, t * hop : t * hop + n_fft] += frames[:, t]
+        return out
+
+    def push(self, frames: np.ndarray) -> np.ndarray:
+        frames = np.asarray(frames, np.float64)
+        B, c, n_fft = frames.shape
+        hop, ov = self.hop, self.n_fft - self.hop
+        y = self._ola(frames, hop)                       # (B, hop*(c-1)+n_fft)
+        env = self._ola(
+            np.broadcast_to(self.env_frame, (1, c, n_fft)).copy(), hop)
+        env = np.broadcast_to(env, y.shape).copy()
+        if self.num_tail is not None:
+            y[:, :ov] += self.num_tail
+            env[:, :ov] += self.env_tail
+        done_y, self.num_tail = y[:, : c * hop], y[:, c * hop :].copy()
+        done_e, self.env_tail = env[:, : c * hop], env[:, c * hop :].copy()
+        return (done_y / np.where(done_e > 1e-11, done_e, 1.0)).astype(np.float32)
+
+    def flush(self) -> np.ndarray:
+        if self.num_tail is None:
+            return np.zeros((1, 0), np.float32)
+        out = (self.num_tail /
+               np.where(self.env_tail > 1e-11, self.env_tail, 1.0))
+        self.num_tail = self.env_tail = None
+        return out.astype(np.float32)
+
+
 def istft(
     spec: jnp.ndarray,
     n_fft: int,

@@ -148,6 +148,80 @@ def test_streaming_decode_matches_full_for_causal_bsrnn(tmp_path):
     assert (32 + 2 * 24) in engine._fns
 
 
+def test_stateful_streaming_exact_for_causal_bsrnn(tmp_path):
+    """Causal BSRNN with carried LSTM state + carried-tail OLA: the
+    chunked decode must equal the full-utterance decode sample-for-
+    sample (float-order noise only) — zero seam, no context recompute."""
+    h = AttrDict(dict(
+        model_name="BSRNN", feature_dim=8, num_repeat=2, dropout=0.0,
+        causal=True, sampling_rate=22050, n_fft=1024, hop_size=256,
+        win_size=1024, num_mels=80, fmin=0, fmax=8000, segment_size=2048,
+        test_output_dir=str(tmp_path / "out"), test_mel_load=0,
+    ))
+    engine = InferenceEngine(h, bucket_frames=32)
+    rng = np.random.default_rng(0)
+    T = 96
+    mel = jnp.asarray(rng.standard_normal((1, 80, T)).astype(np.float32) - 4.0)
+    out_len = (T - 1) * 256
+    full = np.asarray(engine.synthesize_mel(mel, out_len=out_len))
+    stream = engine.synthesize_streaming_stateful(
+        mel, out_len=out_len, chunk_frames=32, lookahead_frames=0)
+    assert stream.shape == full.shape
+    err = np.abs(full - stream).max() / (np.abs(full).max() + 1e-9)
+    assert err < 1e-4, err
+
+
+def test_stateful_streaming_beats_recompute_for_noncausal_bsrnn(tmp_path):
+    """Non-causal BSRNN: carrying the forward state (exact) and bounding
+    only the backward direction by a lookahead must give a SMALLER
+    chunked-vs-full error than the symmetric context-recompute decoder
+    at the same context budget."""
+    h = AttrDict(dict(
+        model_name="BSRNN", feature_dim=8, num_repeat=2, dropout=0.0,
+        causal=False, sampling_rate=22050, n_fft=1024, hop_size=256,
+        win_size=1024, num_mels=80, fmin=0, fmax=8000, segment_size=2048,
+        test_output_dir=str(tmp_path / "out"), test_mel_load=0,
+    ))
+    engine = InferenceEngine(h, bucket_frames=32)
+    rng = np.random.default_rng(1)
+    T = 128
+    mel = jnp.asarray(rng.standard_normal((1, 80, T)).astype(np.float32) - 4.0)
+    out_len = (T - 1) * 256
+    full = np.asarray(engine.synthesize_mel(mel, out_len=out_len))
+    recompute = np.asarray(engine.synthesize_streaming(
+        mel, out_len=out_len, chunk_frames=32, context_frames=16))
+    stateful = engine.synthesize_streaming_stateful(
+        mel, out_len=out_len, chunk_frames=32, lookahead_frames=16)
+    # interior region (skip global iSTFT edge taper)
+    sl = slice(16 * 256, out_len - 16 * 256)
+    scale = np.abs(full[0, sl]).mean() + 1e-9
+    err_r = np.abs(full[0, sl] - recompute[0, sl]).mean() / scale
+    err_s = np.abs(full[0, sl] - stateful[0, sl]).mean() / scale
+    assert err_s < err_r, (err_s, err_r)
+    assert err_s < 0.15, err_s
+
+
+def test_stateful_streaming_multi_stream_batch(tmp_path):
+    """B>1 rows are independent concurrent streams: decoding 2 streams
+    batched equals decoding each alone."""
+    h = AttrDict(dict(
+        model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0,
+        causal=True, sampling_rate=22050, n_fft=1024, hop_size=256,
+        win_size=1024, num_mels=80, fmin=0, fmax=8000, segment_size=2048,
+        test_output_dir=str(tmp_path / "out"), test_mel_load=0,
+    ))
+    engine = InferenceEngine(h, bucket_frames=32)
+    rng = np.random.default_rng(2)
+    T = 64
+    mel = jnp.asarray(rng.standard_normal((2, 80, T)).astype(np.float32) - 4.0)
+    out_len = (T - 1) * 256
+    both = engine.synthesize_streaming_stateful(
+        mel, out_len=out_len, chunk_frames=32, lookahead_frames=0)
+    solo0 = engine.synthesize_streaming_stateful(
+        mel[:1], out_len=out_len, chunk_frames=32, lookahead_frames=0)
+    np.testing.assert_allclose(both[:1], solo0, rtol=0, atol=1e-5)
+
+
 def test_run_inference_stream_flag(wavs, tmp_path):
     h = _h(tmp_path, wavs)
     h["stream"] = 1
