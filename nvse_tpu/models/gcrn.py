@@ -21,32 +21,71 @@ from .layers import Conv2d, ConvTranspose2d, LSTM, LayerNorm, Linear
 
 
 class GluConv2d(nn.Module):
-    """conv * sigmoid(conv) gate (gcrn.py:42-60)."""
+    """conv * sigmoid(conv) gate (gcrn.py:42-60).
+
+    fused=True (default) runs the value/gate pair as ONE conv with
+    2*cout output channels (kernels concatenated at apply time — the
+    param tree / checkpoint layout is the two child convs, unchanged)
+    then splits: identical floats, half the conv dispatches, and the
+    GEMM is twice as wide — these stages' channel counts (16..128) are
+    far below the MXU's 128-lane tile, so the small convs waste most of
+    the systolic array (PERF.md GCRN ~4% MFU).
+    """
 
     cin: int
     cout: int
     kernel: tuple[int, int]
     stride: tuple[int, int]
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
-        a = Conv2d(self.cin, self.cout, self.kernel, stride=self.stride)(x)
-        b = Conv2d(self.cin, self.cout, self.kernel, stride=self.stride)(x)
+        ma = Conv2d(self.cin, self.cout, self.kernel, stride=self.stride,
+                    return_params=self.fused)
+        mb = Conv2d(self.cin, self.cout, self.kernel, stride=self.stride,
+                    return_params=self.fused)
+        if not self.fused:
+            return ma(x) * jax.nn.sigmoid(mb(x))
+        (ka, ba), (kb, bb) = ma(x), mb(x)
+        kernel = jnp.concatenate([ka, kb], axis=3)
+        x = x.astype(kernel.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=self.stride, padding=[(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.concatenate([ba, bb])
+        a, b = y[..., : self.cout], y[..., self.cout :]
         return a * jax.nn.sigmoid(b)
 
 
 class GluConvTranspose2d(nn.Module):
-    """transposed-conv GLU gate (gcrn.py:63-83)."""
+    """transposed-conv GLU gate (gcrn.py:63-83); fused pair like
+    GluConv2d (one lhs-dilated conv at 2*cout channels, then split)."""
 
     cin: int
     cout: int
     kernel: tuple[int, int]
     stride: tuple[int, int]
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
-        a = ConvTranspose2d(self.cin, self.cout, self.kernel, stride=self.stride)(x)
-        b = ConvTranspose2d(self.cin, self.cout, self.kernel, stride=self.stride)(x)
+        ma = ConvTranspose2d(self.cin, self.cout, self.kernel,
+                             stride=self.stride, return_params=self.fused)
+        mb = ConvTranspose2d(self.cin, self.cout, self.kernel,
+                             stride=self.stride, return_params=self.fused)
+        if not self.fused:
+            return ma(x) * jax.nn.sigmoid(mb(x))
+        (ka, ba), (kb, bb) = ma(x), mb(x)
+        kernel = jnp.concatenate([ka, kb], axis=3)
+        kh, kw = self.kernel
+        pads = [(kh - 1,) * 2, (kw - 1,) * 2]
+        x = x.astype(kernel.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, jnp.flip(jnp.flip(kernel, axis=0), axis=1),
+            window_strides=(1, 1), padding=pads, lhs_dilation=self.stride,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.concatenate([ba, bb])
+        a, b = y[..., : self.cout], y[..., self.cout :]
         return a * jax.nn.sigmoid(b)
 
 
@@ -138,12 +177,14 @@ class GCRN(nn.Module):
     num_mels: int = 80
     fmin: float = 0.0
     fmax: float = 8000.0
+    fused_glu: bool = True  # h.fused_glu=false restores the 2-conv pairs (A/B)
 
     @classmethod
     def from_config(cls, h) -> "GCRN":
         return cls(
             sampling_rate=h.sampling_rate, n_fft=h.n_fft, hop_size=h.hop_size,
             win_size=h.win_size, num_mels=h.num_mels, fmin=h.fmin, fmax=h.fmax,
+            fused_glu=bool(h.get("fused_glu", True)),
         )
 
     @nn.compact
@@ -165,7 +206,7 @@ class GCRN(nn.Module):
         ]
         skips = []
         for i, (ci, co, k, f_out) in enumerate(enc_spec):
-            x = GluConv2d(ci, co, k, (1, 2))(x)
+            x = GluConv2d(ci, co, k, (1, 2), fused=self.fused_glu)(x)
             x = elu(_ln_freq(x, f_out, f"bn{i+1}"))
             skips.append(x)
 
@@ -180,7 +221,8 @@ class GCRN(nn.Module):
         def decoder(x, branch, out_ch_last):
             for i, (ci, co, k, f_out) in enumerate(dec_spec):
                 co_ = out_ch_last if co is None else co
-                y = GluConvTranspose2d(ci, co_, k, (1, 2))(x)
+                y = GluConvTranspose2d(ci, co_, k, (1, 2),
+                                       fused=self.fused_glu)(x)
                 y = _ln_freq(y, f_out, f"bn{6-i}_t_{branch}")
                 if i < 5:
                     x = elu(jnp.concatenate([y, skips[4 - i]], axis=-1))

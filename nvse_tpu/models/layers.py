@@ -209,6 +209,19 @@ class ConvTranspose1d(nn.Module):
     use_weight_norm: bool = False
     kernel_init: Callable | None = None
     bias_init: Callable | None = None
+    # polyphase=True computes the transposed conv as ONE stride-1 conv
+    # with ceil(k/s) taps and s*cout output channels, then interleaves
+    # the s phases (subpixel layout) — float-identical, but the MXU
+    # never multiplies the lhs-dilation zeros (s x fewer effective
+    # MACs when XLA lowers input dilation literally). dilation==1 only.
+    # None = follow the NVSE_POLYPHASE_CT env default (A/B switch).
+    polyphase: bool | None = None
+
+    def _use_polyphase(self) -> bool:
+        if self.polyphase is not None:
+            return self.polyphase
+        import os
+        return os.environ.get("NVSE_POLYPHASE_CT", "0") == "1"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -225,6 +238,30 @@ class ConvTranspose1d(nn.Module):
             kernel = gscale * v / jnp.maximum(_norm_except_axis(v, axis=1), 1e-12)
         else:
             kernel = self.param("kernel", kinit, kshape)
+
+        if self._use_polyphase() and self.dilation == 1 and self.stride > 1:
+            s = self.stride
+            ku = -(-k // s)
+            B, T, _ = x.shape
+            x = x.astype(kernel.dtype)
+            # phase r, tap u reads W[r + s*u]: pad taps to s*ku, fold to
+            # (ku, s, cin, cout), flip tap axis for the correlation
+            Wp = jnp.pad(kernel, ((0, s * ku - k), (0, 0), (0, 0)))
+            Wp = jnp.flip(Wp.reshape(ku, s, cin, cout), axis=0)
+            Kp = jnp.transpose(Wp, (0, 2, 1, 3)).reshape(ku, cin, s * cout)
+            E = ku - 1  # right zero-pad so the tail phases are produced
+            y = jax.lax.conv_general_dilated(
+                x, Kp, window_strides=(1,), padding=[(ku - 1, E)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )                                        # (B, T+E, s*cout)
+            f = y.reshape(B, (T + E) * s, cout)      # interleave phases
+            out_len = (T - 1) * s - 2 * self.padding + k
+            y = f[:, self.padding : self.padding + out_len]
+            if self.use_bias:
+                bias = self.param(
+                    "bias", self.bias_init or torch_conv_init(fan_in), (cout,))
+                y = y + bias
+            return y
 
         eff_k = self.dilation * (k - 1) + 1
         pad = eff_k - 1 - self.padding
@@ -260,9 +297,14 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     use_weight_norm: bool = False
     kernel_init: Callable | None = None
+    # register this module's params (same names/shapes/checkpoint
+    # layout) and return (kernel, bias) WITHOUT convolving, so a parent
+    # can fuse several same-shaped convs over one input into a single
+    # wider GEMM (see gcrn.GluConv2d)
+    return_params: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         kh, kw = self.kernel_size
         cin, cout, g = self.in_channels, self.out_channels, self.groups
         fan_in = (cin // g) * kh * kw
@@ -276,6 +318,10 @@ class Conv2d(nn.Module):
             kernel = gscale * v / jnp.maximum(_norm_except_axis(v, axis=3), 1e-12)
         else:
             kernel = self.param("kernel", kinit, kshape)
+        if self.return_params:
+            bias = self.param("bias", torch_conv_init(fan_in), (cout,)) \
+                if self.use_bias else None
+            return kernel, bias
 
         # lax.conv requires matching operand dtypes; under mixed
         # precision the input may arrive f32 (e.g. after f32 DSP ops)
@@ -307,9 +353,10 @@ class ConvTranspose2d(nn.Module):
     use_bias: bool = True
     use_weight_norm: bool = False
     kernel_init: Callable | None = None
+    return_params: bool = False  # see Conv2d.return_params
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         kh, kw = self.kernel_size
         cin, cout = self.in_channels, self.out_channels
         fan_in = cout * kh * kw
@@ -323,6 +370,10 @@ class ConvTranspose2d(nn.Module):
             kernel = gscale * v / jnp.maximum(_norm_except_axis(v, axis=2), 1e-12)
         else:
             kernel = self.param("kernel", kinit, kshape)
+        if self.return_params:
+            bias = self.param("bias", torch_conv_init(fan_in), (cout,)) \
+                if self.use_bias else None
+            return kernel, bias
 
         pads = [(kh - 1 - self.padding[0],) * 2, (kw - 1 - self.padding[1],) * 2]
         # lax.conv requires matching operand dtypes; under mixed

@@ -130,30 +130,44 @@ def bench(fn, x, iters):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--dtype", default="float32",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--shapes", default="m_time,m_band,l_time,l_band",
+                   help="comma subset of m_time,m_band,l_time,l_band")
+    p.add_argument("--ks", default="1,2,4,8")
+    p.add_argument("--append", action="store_true",
+                   help="append to --out instead of overwriting")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "PROFILE_LSTM_STEP.jsonl"))
     args = p.parse_args()
 
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     rows = []
-    # (label, T, B, C, H): BSRNN-M time-LSTM, band-LSTM tile, BSRNN-L, -S-ish H=256
-    shapes = [
-        ("bsrnn_m_time", 1024, 272, 128, 128),
-        ("bsrnn_m_band_tile", 34, 1024, 128, 128),
-        ("bsrnn_l_time", 1024, 272, 256, 256),
-    ]
-    with open(args.out, "w") as f:
+    # (label, T, B, C, H): time-LSTM runs (bands x batch) rows over
+    # frames; band-LSTM runs (frames x batch) rows over the 34 bands
+    # (one Bt=1024 chooser tile probed here)
+    all_shapes = {
+        "m_time": ("bsrnn_m_time", 1024, 272, 128, 128),
+        "m_band": ("bsrnn_m_band_tile", 34, 1024, 128, 128),
+        "l_time": ("bsrnn_l_time", 1024, 272, 256, 256),
+        "l_band": ("bsrnn_l_band_tile", 34, 1024, 256, 256),
+    }
+    shapes = [all_shapes[s] for s in args.shapes.split(",")]
+    ks = [int(k) for k in args.ks.split(",")]
+    with open(args.out, "a" if args.append else "w") as f:
         for label, T, B, C, H in shapes:
-            for k in (1, 2, 4, 8):
+            for k in ks:
                 for mode in ("full", "no_indma", "no_dot", "no_vpu", "empty"):
                     try:
-                        fn, xin, Tb = build(T, B, C, H, k, mode)
+                        fn, xin, Tb = build(T, B, C, H, k, mode, dtype=dtype)
                         ms = bench(fn, xin, args.iters)
                     except Exception as e:  # VMEM overflow etc.
                         print(f"# {label} k={k} {mode}: {type(e).__name__}",
                               flush=True)
                         continue
                     row = {"shape": label, "T": T, "B": B, "C": C, "H": H,
-                           "k": k, "grid_steps": Tb, "variant": mode,
+                           "k": k, "dtype": args.dtype,
+                           "grid_steps": Tb, "variant": mode,
                            "ms": round(ms, 4),
                            "us_per_grid_step": round(ms * 1e3 / Tb, 3)}
                     print(json.dumps(row), flush=True)

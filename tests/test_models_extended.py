@@ -82,6 +82,26 @@ def test_gcrn():
 
 
 @pytest.mark.slow
+def test_gcrn_fused_glu_matches_unfused():
+    """The fused GLU pair (one 2*cout conv, kernels concatenated at
+    apply time) must be float-identical to the two-conv pair with the
+    SAME param tree (checkpoint layout unchanged)."""
+    h1 = _h(model_name="GCRN", fused_glu=True)
+    h2 = _h(model_name="GCRN", fused_glu=False)
+    m1, _ = build_generator(h1)
+    m2, _ = build_generator(h2)
+    mel = _mel()
+    p1 = m1.init(jax.random.PRNGKey(0), mel)
+    p2 = m2.init(jax.random.PRNGKey(0), mel)
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    o1 = m1.apply(p1, mel)
+    o2 = m2.apply(p1, mel)  # same params through both paths
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
 def test_convtasnet():
     h = _h(model_name="ConvTasNet", N=512, L=16, B=128, H=512, P=3, X=8, R=3,
            norm="gln", num_spks=1, activate="relu", causal=False,
