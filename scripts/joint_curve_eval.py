@@ -41,6 +41,11 @@ def main() -> None:
     p.add_argument("--out", default="QUALITY_r5.json")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--jb", type=int, default=6, help="DNSMOS worker processes")
+    p.add_argument("--voc_dnsmos_all", action="store_true",
+                   help="DNSMOS-score the vocoded dir at EVERY step "
+                        "(default: final step only — the headline curve "
+                        "is denoise DNSMOS, and the numpy executor costs "
+                        "~15 s/clip/core)")
     p.add_argument("--model_dir", default=os.environ.get(
         "NVSE_DNSMOS_DIR",
         os.path.join(os.path.dirname(__file__), "..", "Metrics", "DNSMOS")))
@@ -135,30 +140,39 @@ def main() -> None:
         voc_dir = os.path.join(args.work_dir, f"vocoded_{step:08d}")
         os.makedirs(den_dir, exist_ok=True)
         os.makedirs(voc_dir, exist_ok=True)
-        for name in cleans:
-            noisy, clean = noisys[name], cleans[name]
-            # denoise: noisy log-amplitude spectrum in (reference
-            # infers/inference_joint_denoise_vocoder_bsrnn.py:91-92)
-            spec = amp_pha_spectrum(jnp.asarray(noisy[None, :]), h.n_fft,
-                                    h.hop_size, h.win_size, eps=1e-5)[0]
-            engine.warmup(spec.shape[-1])
-            enh = np.asarray(engine.synthesize_mel(spec, out_len=len(noisy)))[0]
-            write_wav(os.path.join(den_dir, name), enh, sr)
-            # vocoder: log clamped pseudo-inverse mel of the CLEAN mel
-            # (reference :88-90)
-            mel = mel_spectrogram(jnp.asarray(clean[None, :]), h.n_fft,
-                                  h.num_mels, sr, h.hop_size, h.win_size,
-                                  h.fmin, h.fmax)
-            inv = inverse_mel(mel, h.n_fft, h.num_mels, sr, h.hop_size,
-                              h.win_size, h.fmin, h.fmax)
-            spec_v = jnp.log(jnp.clip(jnp.abs(inv), 1e-5, None))
-            voc = np.asarray(engine.synthesize_mel(spec_v, out_len=len(clean)))[0]
-            write_wav(os.path.join(voc_dir, name), voc, sr)
+        # one BATCHED dispatch per mode: all utterances padded to the
+        # longest (silence = log eps), decoded together, cropped apart
+        names = list(cleans)
+        Lmax = max(len(cleans[n]) for n in names)
+        noisy_b = np.zeros((len(names), Lmax), np.float32)
+        clean_b = np.zeros((len(names), Lmax), np.float32)
+        for r, n in enumerate(names):
+            noisy_b[r, : len(noisys[n])] = noisys[n]
+            clean_b[r, : len(cleans[n])] = cleans[n]
+        # denoise: noisy log-amplitude spectrum in (reference
+        # infers/inference_joint_denoise_vocoder_bsrnn.py:91-92)
+        spec = amp_pha_spectrum(jnp.asarray(noisy_b), h.n_fft,
+                                h.hop_size, h.win_size, eps=1e-5)[0]
+        enh = np.asarray(engine.synthesize_mel(spec, out_len=Lmax))
+        # vocoder: log clamped pseudo-inverse mel of the CLEAN mel
+        # (reference :88-90)
+        mel = mel_spectrogram(jnp.asarray(clean_b), h.n_fft,
+                              h.num_mels, sr, h.hop_size, h.win_size,
+                              h.fmin, h.fmax)
+        inv = inverse_mel(mel, h.n_fft, h.num_mels, sr, h.hop_size,
+                          h.win_size, h.fmin, h.fmax)
+        spec_v = jnp.log(jnp.clip(jnp.abs(inv), 1e-5, None))
+        voc = np.asarray(engine.synthesize_mel(spec_v, out_len=Lmax))
+        for r, n in enumerate(names):
+            write_wav(os.path.join(den_dir, n), enh[r, : len(noisys[n])], sr)
+            write_wav(os.path.join(voc_dir, n), voc[r, : len(cleans[n])], sr)
 
         emit({"signal": "denoised", "step": step,
               **dnsmos_of(den_dir), **intrusive_of(den_dir)})
-        emit({"signal": "vocoded", "step": step,
-              **dnsmos_of(voc_dir), **intrusive_of(voc_dir)})
+        voc_scores = dict(intrusive_of(voc_dir))
+        if args.voc_dnsmos_all or step == steps[-1]:
+            voc_scores.update(dnsmos_of(voc_dir))
+        emit({"signal": "vocoded", "step": step, **voc_scores})
 
     if args.out:
         rows = []
