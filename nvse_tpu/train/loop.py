@@ -311,7 +311,12 @@ def train(h, log_fn=print) -> None:
                 for k, v in m.items():
                     sw.add_scalar(f"training/{k}", v, steps)
 
-            if steps % h.validation_interval == 0:
+            if steps % h.validation_interval == 0 and not (
+                    steps == 0 and h.get("skip_step0_validation", False)):
+                # Reference validates at step 0 too (train_tf_wi_inv.py:313);
+                # the knob exists because step-0 validation forces eval_full
+                # bucket compiles (~minutes each on a remote TPU) before the
+                # first real step — opt in for short A/B runs.
                 validate(steps)
 
             steps += 1

@@ -179,7 +179,10 @@ def train_joint(h, log_fn=print) -> None:
             if want_summary:
                 for k, v in m.items():
                     sw.add_scalar(f"training/{task}/{k}", v, steps)
-            if steps % h.validation_interval == 0:
+            if steps % h.validation_interval == 0 and not (
+                    steps == 0 and h.get("skip_step0_validation", False)):
+                # Same knob as loop.py: skip the step-0 eval_full bucket
+                # compiles for short A/B runs (reference validates at 0).
                 validate(steps)
 
             steps += 1

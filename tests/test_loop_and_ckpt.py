@@ -85,6 +85,9 @@ def _tiny_h(tmp_path, wav_dir, train_list, val_list):
         lr_decay=0.999, seed=1234, training_steps=2, training_epochs=100,
         stdout_interval=1, checkpoint_interval=2, summary_interval=1,
         validation_interval=1000, max_to_keep=2,
+        # exercise the skip-step0-validation knob (loop.py); the joint
+        # loop test keeps step-0 validation so validate() stays covered
+        skip_step0_validation=True,
         mpd_reshapes=[2, 3, 5, 7, 11], segment_size=2048, num_mels=80,
         n_fft=1024, hop_size=256, win_size=1024, sampling_rate=22050,
         fmin=0, fmax=8000, meloss=None, num_workers=2,
@@ -100,6 +103,8 @@ def test_train_loop_runs_and_checkpoints(wav_env):
     assert scan_checkpoint(h.checkpoint_path, "g_") is not None
     assert scan_checkpoint(h.checkpoint_path, "do_") is not None
     assert any("training finished" in l for l in logs)
+    # skip_step0_validation suppressed the step-0 validation pass
+    assert not any("validation:" in l for l in logs)
 
 
 @pytest.mark.slow
