@@ -63,18 +63,8 @@ def _xla_lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
     return hs
 
 
-def lstm_scan_stateful(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
-                       h0: jnp.ndarray, c0: jnp.ndarray):
-    """(T, B, 4H), (H, 4H), (B, H), (B, H) -> (hs, cs), each (T, B, H).
-
-    Streaming-decode variant: the recurrence starts from a CALLER
-    state instead of zeros and the full (h, c) trajectories are
-    returned so the caller can snapshot the carry at any chunk
-    boundary (engine.synthesize_streaming_stateful). Same gate math as
-    _xla_lstm_scan (torch i,f,g,o order). Inference-path only — plain
-    lax.scan, no Pallas: per-chunk windows are short and the state
-    plumbing would complicate the zero-init grid kernels.
-    """
+def _xla_lstm_scan_stateful(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                            h0: jnp.ndarray, c0: jnp.ndarray):
     def step(carry, xt):
         h, c = carry
         gates = xt + h @ w_hh
@@ -87,6 +77,24 @@ def lstm_scan_stateful(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
 
     _, (hs, cs) = jax.lax.scan(step, (h0, c0), x_proj)
     return hs, cs
+
+
+def lstm_scan_stateful(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                       h0: jnp.ndarray, c0: jnp.ndarray):
+    """(T, B, 4H), (H, 4H), (B, H), (B, H) -> (hs, cs), each (T, B, H).
+
+    Streaming-decode variant: the recurrence starts from a CALLER
+    state instead of zeros and the full (h, c) trajectories are
+    returned so the caller can snapshot the carry at any chunk
+    boundary (engine.synthesize_streaming_stateful). Same gate math as
+    _xla_lstm_scan (torch i,f,g,o order). Inference-path only (no
+    custom VJP — streaming decode is never differentiated); on TPU the
+    same grid-scan Pallas kernel as lstm_scan runs with the zero-init
+    replaced by h0/c0 tiles consumed at t == 0.
+    """
+    if jax.default_backend() == "cpu" or pltpu is None:
+        return _xla_lstm_scan_stateful(x_proj, w_hh, h0, c0)
+    return _pallas_lstm_scan_stateful(x_proj, w_hh, h0, c0)
 
 
 def _lstm_kernel(xp_ref, whh_ref, out_ref, h_scratch, c_scratch):
@@ -217,6 +225,99 @@ def _pallas_lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
         interpret=interpret,
     )(x_proj, w_hh)
     return out[:T, :B, :]
+
+
+def _lstm_kernel_stateful(k: int):
+    """Unidirectional grid-scan kernel with CALLER initial state: at
+    t == 0 the VMEM h/c scratch loads from the h0/c0 input tiles
+    instead of zeros, and the cell-state trajectory is emitted
+    alongside h so the streaming caller can snapshot the carry at any
+    chunk boundary. Same unroll-k amortization as
+    _lstm_kernel_unrolled (trailing time padding is computed-and-
+    discarded, never feeding a real step)."""
+
+    def kernel(xp_ref, whh_ref, h0_ref, c0_ref, hs_ref, cs_ref,
+               h_scratch, c_scratch):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            h_scratch[...] = h0_ref[...].astype(jnp.float32)
+            c_scratch[...] = c0_ref[...].astype(jnp.float32)
+
+        h, c = h_scratch[...], c_scratch[...]
+        H = h.shape[-1]
+        whh = whh_ref[...]
+        for i in range(k):
+            gates = xp_ref[i] + _hdot(h, whh)
+            ig = jax.nn.sigmoid(gates[:, :H])
+            fg = jax.nn.sigmoid(gates[:, H : 2 * H])
+            gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+            og = jax.nn.sigmoid(gates[:, 3 * H :])
+            c = fg * c + ig * gg
+            h = og * jnp.tanh(c)
+            hs_ref[i] = h.astype(hs_ref.dtype)
+            cs_ref[i] = c.astype(cs_ref.dtype)
+        h_scratch[...] = h
+        c_scratch[...] = c
+
+    return kernel
+
+
+def _choose_scan_unroll_stateful(Bt: int, H: int, itemsize: int) -> int:
+    if H % 128:  # same Mosaic guard as _choose_scan_unroll
+        return 1
+    for k in (32, 16, 8, 4, 2):
+        # base budget + the extra double-buffered cs out tile + h0/c0
+        extra = 2 * k * Bt * H * itemsize + 2 * Bt * H * itemsize
+        if (_scan_vmem_bytes_unrolled(k, Bt, H, itemsize) + extra
+                <= _FUSED_VMEM_BUDGET):
+            return k
+    return 1
+
+
+def _pallas_lstm_scan_stateful(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                               h0: jnp.ndarray, c0: jnp.ndarray,
+                               interpret: bool = False,
+                               unroll: int | None = None):
+    T, B, G = x_proj.shape
+    H = w_hh.shape[0]
+    Bt = _batch_tile(B, H, x_proj.dtype.itemsize)
+    nb = -(-B // Bt)
+    B_pad = nb * Bt
+    k = (_choose_scan_unroll_stateful(Bt, H, x_proj.dtype.itemsize)
+         if unroll is None else unroll)
+    Tb = -(-T // k)
+    T_pad = Tb * k
+    if T_pad != T or B_pad != B:
+        x_proj = jnp.pad(x_proj, ((0, T_pad - T), (0, B_pad - B), (0, 0)))
+    if B_pad != B:
+        h0 = jnp.pad(h0, ((0, B_pad - B), (0, 0)))
+        c0 = jnp.pad(c0, ((0, B_pad - B), (0, 0)))
+    hs, cs = pl.pallas_call(
+        _lstm_kernel_stateful(k),
+        grid=(nb, Tb),
+        in_specs=[
+            pl.BlockSpec((k, Bt, G), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((H, G), lambda b, t: (0, 0)),
+            pl.BlockSpec((Bt, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((Bt, H), lambda b, t: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, Bt, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((k, Bt, H), lambda b, t: (t, b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, B_pad, H), x_proj.dtype),
+            jax.ShapeDtypeStruct((T_pad, B_pad, H), x_proj.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(x_proj, w_hh, h0, c0)
+    return hs[:T, :B], cs[:T, :B]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

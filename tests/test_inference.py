@@ -118,6 +118,7 @@ def test_engine_bf16_mode(wavs, tmp_path):
     assert np.isfinite(wav).all()
 
 
+@pytest.mark.slow  # quick-tier trim: >10 s on a loaded host
 def test_streaming_decode_matches_full_for_causal_bsrnn(tmp_path):
     """Causal BSRNN: chunked decode with left context reproduces the
     full-utterance decode away from window edges; one compiled shape."""

@@ -1,5 +1,6 @@
 """Pallas LSTM kernel parity (interpret mode on CPU) + gradient path."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -438,6 +439,7 @@ def test_fwd_hc_unrolled_matches_interpret():
                                    rtol=1e-5, atol=1e-5, err_msg=f"k={k}")
 
 
+@pytest.mark.slow  # quick-tier trim: >10 s on a loaded host
 def test_bwd_unrolled_matches_interpret():
     # reversed scan meets the zero pad block first; grads must match
     # the k=1 kernel and the XLA vjp exactly
@@ -477,3 +479,43 @@ def test_choose_tile_and_unroll_never_shrinks_throughput():
             Bt, k = _choose_tile_and_unroll(fn, B, T, start, G, H, 4)
             steps = -(-B // Bt) * -(-T // k)
             assert steps <= base_steps, (B, T, G, H, Bt, k)
+
+
+def test_stateful_kernel_matches_xla_scan_interpret():
+    from nvse_tpu.ops.pallas_lstm import (_pallas_lstm_scan_stateful,
+                                          _xla_lstm_scan_stateful)
+    rng = np.random.default_rng(7)
+    T, B, H = 23, 12, 16
+    xp = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * .5)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * .1)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * .3)
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * .3)
+    ref_h, ref_c = _xla_lstm_scan_stateful(xp, whh, h0, c0)
+    for k in (1, 4):  # zero-unroll and unrolled (time-padding) paths
+        got_h, got_c = _pallas_lstm_scan_stateful(xp, whh, h0, c0,
+                                                  interpret=True, unroll=k)
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_stateful_kernel_chunk_equals_full_interpret():
+    # two chunks with the carried (h, c) must reproduce the one-shot
+    # decode exactly — the property synthesize_streaming_stateful
+    # relies on for its zero-seam causal claim
+    from nvse_tpu.ops.pallas_lstm import _pallas_lstm_scan_stateful
+    rng = np.random.default_rng(11)
+    T, B, H = 30, 20, 16  # B=20 also exercises the batch-pad crop
+    xp = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32) * .5)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * .1)
+    z = jnp.zeros((B, H), jnp.float32)
+    full_h, full_c = _pallas_lstm_scan_stateful(xp, whh, z, z, interpret=True)
+    cut = 17
+    h1, c1 = _pallas_lstm_scan_stateful(xp[:cut], whh, z, z, interpret=True)
+    h2, c2 = _pallas_lstm_scan_stateful(xp[cut:], whh, h1[-1], c1[-1],
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([h1, h2])),
+                               np.asarray(full_h), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([c1, c2])),
+                               np.asarray(full_c), rtol=1e-5, atol=1e-5)

@@ -101,6 +101,7 @@ def test_import_mrf_generator_output_parity():
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow  # quick-tier trim: >10 s on a loaded host
 def test_import_bsrnn_structural():
     """Synthetic state dict with band-tagged values lands in the right
     group rows, and the imported model runs."""
@@ -385,6 +386,7 @@ def test_import_gcrn_structural():
     assert np.isfinite(np.asarray(outs[-1])).all()
 
 
+@pytest.mark.slow  # quick-tier trim: >10 s on a loaded host
 def test_import_hddemucas_structural():
     from nvse_tpu.utils.torch_import import import_hddemucas
 

@@ -242,6 +242,7 @@ class OracleGCRN(nn.Module):
         return logamp, phase, rea, imag, wav
 
 
+@pytest.mark.slow  # quick-tier trim: >10 s on a loaded host
 def test_gcrn_import_output_parity():
     from nvse_tpu.utils.torch_import import import_gcrn
 

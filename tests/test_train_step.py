@@ -111,6 +111,7 @@ def test_sequence_parallel_step_matches_data_parallel():
     np.testing.assert_allclose(d1, d0, rtol=1e-3)
 
 
+@pytest.mark.slow  # quick-tier trim: >10 s on a loaded host
 def test_eval_step():
     h = _h(model_name="BSRNN", feature_dim=8, num_repeat=1, dropout=0.0, causal=False)
     gen, domain = build_generator(h)
